@@ -1,0 +1,161 @@
+"""MinHash signature kernel — numpy, byte-identical to the reference.
+
+Reference: ``src/text_dedup/config/algorithms/minhash.py`` — hash-config
+table (:101-108), ``optimal_param`` (:18-76), permutation generation
+(:154-171), embed (:200-236). The reference embeds one doc per call
+(``minhash.py:42`` batch_size=1); here the same math is vectorized across a
+whole Arrow batch (signatures are bit-for-bit identical because per-doc
+minima are independent).
+
+Parity pins (SURVEY.md §7.9):
+- base hash uses ``min(hash_bits, 32)`` bits (so 64-bit config hashes
+  shingles to 32 bits — reference ``minhash.py:136-146``);
+- ``(h*a + b) % P & max_hash`` wraps mod 2**64 *before* the modulo, exactly
+  as numpy uint64 arithmetic does;
+- a, b drawn from ``RandomState(seed)`` as ``randint(1, P)`` then
+  ``randint(0, P)`` in that order (``minhash.py:164-171``);
+- band bytes are the byteswapped (big-endian) raw signature slice
+  (``minhash.py:232-236``, datasketch-compatible).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from text_dedup_spark.kernels.hashfunc import sha1_hash, xxh3_hash
+from text_dedup_spark.kernels.tokenization import shingles
+
+# (dtype, max_hash, modulo_prime) per hash_bits — reference minhash.py:101-108
+HASH_CONFIG: dict[int, tuple[type, int, int]] = {
+    64: (np.uint64, np.uint32((1 << 32) - 1), np.uint64((1 << 61) - 1)),
+    32: (np.uint32, np.uint32((1 << 32) - 1), np.uint32((1 << 32) - 5)),
+    16: (np.uint16, np.uint16((1 << 16) - 1), np.uint16((1 << 16) - 15)),
+}
+
+
+def _simpson(ys: np.ndarray, a: float, b: float) -> float:
+    """Composite Simpson's rule over pre-evaluated samples; replaces
+    scipy.integrate.quad (unavailable here). The integrands are smooth
+    polynomials-of-powers on [0,1], so the error is far below the spacing of
+    the (b, r) error lattice."""
+    h = (b - a) / (len(ys) - 1)
+    return float(h / 3 * (ys[0] + ys[-1] + 4 * ys[1:-1:2].sum() + 2 * ys[2:-1:2].sum()))
+
+
+def optimal_param(
+    threshold: float,
+    num_perm: int,
+    false_positive_weight: float = 0.5,
+    false_negative_weight: float = 0.5,
+    _n: int = 512,
+) -> tuple[int, int]:
+    """Minimize weighted FP/FN areas over (bands, rows) — reference
+    ``minhash.py:18-76`` (datasketch ``optimal_param``), vectorized."""
+    xs_fp = np.linspace(0.0, threshold, 2 * _n + 1)
+    xs_fn = np.linspace(threshold, 1.0, 2 * _n + 1)
+    min_error = float("inf")
+    opt = (0, 0)
+    for b in range(1, num_perm + 1):
+        max_r = int(num_perm / b)
+        for r in range(1, max_r + 1):
+            # P(candidate | similarity s) = 1 - (1 - s^r)^b
+            fp = _simpson(1.0 - (1.0 - xs_fp**r) ** b, 0.0, threshold)
+            fn = _simpson((1.0 - xs_fn**r) ** b, threshold, 1.0)
+            error = fp * false_positive_weight + fn * false_negative_weight
+            if error < min_error:
+                min_error = error
+                opt = (b, r)
+    return opt
+
+
+@dataclass
+class MinHashKernel:
+    """Driver-built, picklable closure state for the fingerprint UDF."""
+
+    num_perm: int
+    ngram_size: int = 1
+    min_length: int = 5
+    threshold: float = 0.5
+    hash_bits: int = 64
+    hash_func_name: str = "xxh3"  # "xxh3" | "sha1"
+    seed: int = 42
+    bands: int | None = None
+    rows: int | None = None
+    false_positive_weight: float = 0.5
+    false_negative_weight: float = 0.5
+    a: np.ndarray = field(init=False, repr=False)
+    b: np.ndarray = field(init=False, repr=False)
+
+    def __post_init__(self) -> None:
+        if self.bands is None and self.rows is None:
+            self.bands, self.rows = optimal_param(
+                self.threshold,
+                self.num_perm,
+                self.false_positive_weight,
+                self.false_negative_weight,
+            )
+        self.dtype, self.max_hash, self.modulo_prime = HASH_CONFIG[self.hash_bits]
+        rng = np.random.RandomState(self.seed)
+        # order matters: a then b, same bounds/dtype as minhash.py:164-171
+        self.a = rng.randint(1, self.modulo_prime, size=(self.num_perm,), dtype=self.dtype)
+        self.b = rng.randint(0, self.modulo_prime, size=(self.num_perm,), dtype=self.dtype)
+
+    @property
+    def hash_ranges(self) -> list[tuple[int, int]]:
+        return [(i * self.rows, (i + 1) * self.rows) for i in range(self.bands)]
+
+    def base_hash(self, data: bytes) -> int:
+        if self.hash_func_name == "sha1":
+            return sha1_hash(data, d=min(self.hash_bits, 32))
+        return xxh3_hash(data, seed=self.seed, bits=min(self.hash_bits, 32))
+
+    def shingles(self, content: str) -> set[bytes]:
+        return shingles(content, self.ngram_size, self.min_length)
+
+    def signature(self, content: str) -> np.ndarray:
+        """num_perm-long MinHash signature of one document."""
+        tokens = self.shingles(content)
+        hashvalues = np.array(
+            [self.base_hash(t) for t in tokens], dtype=self.dtype
+        ).reshape(len(tokens), 1)
+        hashvalues = (hashvalues * self.a + self.b) % self.modulo_prime & self.max_hash
+        masks = np.full(shape=self.num_perm, dtype=self.dtype, fill_value=self.max_hash)
+        return np.vstack([hashvalues, masks]).min(axis=0)
+
+    def band_values(self, signature: np.ndarray) -> list[bytes]:
+        return [bytes(signature[s:e].byteswap().data) for (s, e) in self.hash_ranges]
+
+    def embed(self, content: str) -> list[bytes]:
+        """Per-doc list of ``bands`` band-value byte strings (band_idx = position)."""
+        return self.band_values(self.signature(content))
+
+    def embed_batch(self, contents: list[str]) -> list[list[bytes]]:
+        """Vectorized across a batch: one (h*a+b)%P pass over all shingles of
+        all docs, per-doc mins via ``minimum.reduceat`` — same outputs as
+        per-doc ``embed`` but amortizes the numpy kernel over the Arrow batch
+        (the reference wastes this with batch_size=1, ``minhash.py:42``)."""
+        all_hashes: list[int] = []
+        offsets = [0]
+        shingle_sets = [self.shingles(c) for c in contents]
+        for toks in shingle_sets:
+            all_hashes.extend(self.base_hash(t) for t in toks)
+            offsets.append(len(all_hashes))
+        n_docs = len(contents)
+        masks = np.full(shape=self.num_perm, dtype=self.dtype, fill_value=self.max_hash)
+        if not all_hashes:
+            return [self.band_values(masks) for _ in range(n_docs)]
+        hv = np.asarray(all_hashes, dtype=self.dtype).reshape(-1, 1)
+        hv = (hv * self.a + self.b) % self.modulo_prime & self.max_hash
+        out: list[list[bytes]] = []
+        for i in range(n_docs):
+            s, e = offsets[i], offsets[i + 1]
+            sig = masks if s == e else np.minimum(hv[s:e].min(axis=0), masks)
+            out.append(self.band_values(sig))
+        return out
+
+    def token_count(self, content: str) -> int:
+        from text_dedup_spark.kernels.tokenization import tokenize
+
+        return len(tokenize(content))

@@ -1,0 +1,50 @@
+"""Tokenization / n-gram / shingle kernels, byte-identical to the reference.
+
+Reference: ``src/text_dedup/utils/tokenization.py:5-33`` (ngrams),
+``src/text_dedup/config/algorithms/minhash.py:181-198`` (tokenize + shingles;
+identical copies at ``config/algorithms/simhash.py:309-326``).
+
+Parity notes (SURVEY.md §7.9): tokenization MUST use the Python ``regex``
+module's Unicode ``\\W`` — JVM regex (`pyspark.sql.functions.split`) has
+different Unicode word-character classes, so all tokenizing happens inside
+Python/pandas UDFs, never JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from itertools import tee
+
+import regex as re
+
+NON_ALPHA = re.compile(r"\W", re.UNICODE)
+
+
+def tokenize(content: str) -> list[str]:
+    """Lowercase, split on ``\\W`` (Unicode), drop empty tokens."""
+    return [t for t in NON_ALPHA.split(content.lower()) if t]
+
+
+def ngrams(sequence: list[str], n: int, min_length: int = 5) -> Iterator[tuple[str, ...]]:
+    """Sliding n-grams with the reference's two edge cases:
+
+    - ``len(sequence) < min_length`` -> empty iterator
+    - ``len(sequence) < n``          -> single tuple of the whole sequence
+    """
+    if len(sequence) < min_length:
+        return iter([])
+    if len(sequence) < n:
+        return iter([tuple(sequence)])
+    iterables = tee(iter(sequence), n)
+    for i, sub_iterable in enumerate(iterables):
+        for _ in range(i):
+            next(sub_iterable, None)
+    return zip(*iterables, strict=False)
+
+
+def shingles(content: str, ngram_size: int, min_length: int = 5) -> set[bytes]:
+    """Distinct utf-8 shingle byte strings (reference ``minhash.py:189-198``)."""
+    return {
+        bytes(" ".join(t).lower(), "utf-8")
+        for t in ngrams(tokenize(content), ngram_size, min_length)
+    }
