@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the implemented operators from SURVEY.md §2 plus the
+training-data-pipeline extensions (dedup variants, similarity search, text
+analysis). ``oracle_sql()`` gives DuckDB-equivalent SQL where the operator is
+SQL-expressible; iterative/UDF-kernel operators (MinHash/SimHash clustering)
+are rows-only here and parity-tested against single-node reference-semantics
+oracles in tests/ instead (pytest -x -q).
+
+Column-type discipline for hash-stable oracle comparison: every emitted
+column is int/bigint/string — no raw floats (reduction-order hazards), no
+engine-specific decimals.
 """
 
 from __future__ import annotations
@@ -12,27 +17,304 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible queries (DuckDB oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (reference bloom_filter.py semantics, F14/A1)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5(F.encode(F.col("text"), "utf-8")).alias("text_md5")).agg(
+        F.min("doc_id").alias("first_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def q_exact_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate flag (P4/P5: first occurrence wins)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5(F.encode(F.col("text"), "utf-8")))
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int").alias("is_dup"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-stat components (text analysis ops)."""
+    from text_dedup_spark.functions.text_stats import (
+        digit_count,
+        distinct_token_count,
+        max_token_len,
+        token_count,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).cast("bigint").alias("n_tokens"),
+        distinct_token_count(t).cast("bigint").alias("n_distinct_tokens"),
+        max_token_len(t).cast("bigint").alias("max_token_len"),
+        F.length(t).cast("bigint").alias("n_chars_calc"),
+        digit_count(t).cast("bigint").alias("n_digits"),
+    )
+
+
+def q_lang_marker_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic mechanics: marker-token hit counts + argmax."""
+    from text_dedup_spark.functions.text_stats import marker_hits
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_the = marker_hits(t, "the").cast("bigint")
+    n_data = marker_hits(t, "data").cast("bigint")
+    n_table = marker_hits(t, "table").cast("bigint")
+    return d.select(
+        "doc_id",
+        n_the.alias("n_the"),
+        n_data.alias("n_data"),
+        n_table.alias("n_table"),
+        F.when(n_the >= F.greatest(n_data, n_table), F.lit("en"))
+        .when(n_data >= n_table, F.lit("tech"))
+        .otherwise(F.lit("tabular"))
+        .alias("pred_class"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 prefix)."""
+    from text_dedup_spark.functions.text_stats import doc_fingerprint
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup candidate pairs (F2/F13 as declarative plan).
+
+    Integer intersection/union sizes; pair kept when jaccard >= 0.5
+    (2*inter >= union) — engine-exact arithmetic."""
+    from text_dedup_spark.functions.text_stats import word_ngrams
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"), word_ngrams(F.col("text"), 3).alias("grams")
+    )
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("ga"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gb"))
+    pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("bigint")
+    union = (F.size("ga") + F.size("gb")).cast("bigint") - inter
+    return (
+        pairs.select("a_id", "b_id", inter.alias("inter_size"), union.alias("union_size"))
+        .where((F.col("union_size") > 0) & (F.col("inter_size") * 2 >= F.col("union_size")))
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-3 neighbors by integer-quantized dot product."""
+    from text_dedup_spark.functions.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), k=3).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational agg health check (decimal-exact sums, TPC-H Q1 flavor)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,4)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,4)").alias("sum_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel-UDF / iterative queries (rows-only driver check; parity in pytest)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_common(spark: SparkSession, sf_dir: str, check_fp: bool) -> DataFrame:
+    from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+    from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL
+    from text_dedup_spark.operators.minhash import minhash_dedup
+
+    kernel = MinHashKernel(
+        num_perm=64, ngram_size=2, min_length=5, threshold=0.5, seed=42
+    )
+    res = minhash_dedup(
+        _docs(spark, sf_dir), kernel, id_col="doc_id", check_false_positive=check_fp
+    )
+    return res.docs.select(
+        F.col("doc_id"),
+        F.col(CLUSTER_COL).alias("cluster_id"),
+        F.col(DUPLICATE_COL).cast("int").alias("is_dup"),
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH clustering (reference minhash.py; SURVEY §2 F1-F8, J1/J3,
+    A1-A5, A9)."""
+    return _minhash_common(spark, sf_dir, check_fp=False)
+
+
+def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash with intra-cluster Jaccard verification (J2/F13)."""
+    return _minhash_common(spark, sf_dir, check_fp=True)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-bucket clustering (reference simhash.py; F9-F12, J4)."""
+    from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
+    from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL
+    from text_dedup_spark.operators.simhash import simhash_dedup
+
+    kernel = SimHashKernel(f=64, bit_diff=3, num_bucket=4, ngram_size=3, min_length=5, seed=42)
+    res = simhash_dedup(_docs(spark, sf_dir), kernel, id_col="doc_id")
+    return res.docs.select(
+        F.col("doc_id"),
+        F.col(CLUSTER_COL).alias("cluster_id"),
+        F.col(DUPLICATE_COL).cast("int").alias("is_dup"),
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH buckets (scale path)."""
+    from text_dedup_spark.functions.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(_emb(spark, sf_dir), k=3).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash+LSH dedup clustering at sf0.001."""
+    return q_minhash_dedup(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "exact_dup_flags": q_exact_dup_flags,
+        "token_stats": q_token_stats,
+        "lang_marker_profile": q_lang_marker_profile,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_verified": q_minhash_dedup_verified,
+        "simhash_dedup": q_simhash_dedup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_groups": """
+            SELECT md5(text) AS text_md5,
+                   min(doc_id) AS first_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "exact_dup_flags": """
+            SELECT doc_id,
+                   CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+            FROM documents
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+                   CAST(list_max(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS max_token_len,
+                   CAST(len(text) AS BIGINT) AS n_chars_calc,
+                   CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+            FROM documents
+        """,
+        "lang_marker_profile": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'the')) AS BIGINT) AS n_the,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'data')) AS BIGINT) AS n_data,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'table')) AS BIGINT) AS n_table
+              FROM documents)
+            SELECT doc_id, n_the, n_data, n_table,
+                   CASE WHEN n_the >= greatest(n_data, n_table) THEN 'en'
+                        WHEN n_data >= n_table THEN 'tech'
+                        ELSE 'tabular' END AS pred_class
+            FROM t
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text,' ')) >= 3 THEN
+                       list_distinct(list_transform(
+                         range(1, len(string_split(text,' ')) - 1),
+                         i -> string_split(text,' ')[i] || ' ' ||
+                              string_split(text,' ')[i+1] || ' ' ||
+                              string_split(text,' ')[i+2]))
+                     ELSE [] END AS grams
+              FROM documents)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter_size,
+                   CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS BIGINT) AS union_size
+            FROM g a, g b
+            WHERE a.doc_id < b.doc_id
+              AND len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
+              AND 2 * len(list_intersect(a.grams, b.grams)) >=
+                  len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                          i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+              FROM q a, q b WHERE a.vec_id <> b.vec_id),
+            ranked AS (
+              SELECT vec_id, neighbor_id, dot,
+                     CAST(row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+              FROM pairs)
+            SELECT vec_id, neighbor_id, dot, rank FROM ranked WHERE rank <= 3
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+    }

@@ -1,0 +1,73 @@
+"""Spark suffix-array dedup vs single-node oracle (same kernels, no Spark)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from text_dedup_spark.kernels.intervals import clean_up, restore_and_merge
+from text_dedup_spark.kernels.suffix_array_kernel import duplicate_byte_ranges
+from text_dedup_spark.operators.suffix_dedup import suffix_array_dedup
+
+
+def make_corpus(seed: int = 5, n: int = 120):
+    """Docs with planted long shared substrings (some >=100 bytes, some just
+    below threshold), including one crossing a doc-concat boundary."""
+    rng = np.random.RandomState(seed)
+    words = [f"w{i}" for i in range(500)]
+
+    def doc(n_words):
+        return " ".join(words[i] for i in rng.randint(0, 500, size=n_words))
+
+    texts = [doc(rng.randint(30, 120)) for _ in range(n)]
+    long_chunk = doc(40)  # ~ 160+ bytes
+    short_chunk = doc(10)  # < 100 bytes
+    texts[10] = texts[10] + " " + long_chunk
+    texts[55] = long_chunk + " " + texts[55]
+    texts[20] = texts[20] + " " + short_chunk
+    texts[70] = short_chunk + " " + texts[70]
+    return texts
+
+
+def oracle(texts, k=100, strategy="longest"):
+    encoded = [t.encode("utf-8") for t in texts]
+    boundaries = []
+    start = 0
+    for b in encoded:
+        boundaries.append(slice(start, start + len(b)))
+        start += len(b)
+    ranges = duplicate_byte_ranges(b"".join(encoded), k)
+    slices, _ = restore_and_merge(boundaries, ranges, k, strategy)
+    return [clean_up(t, sl) for t, sl in zip(texts, slices, strict=True)]
+
+
+@pytest.mark.parametrize("strategy", ["longest", "overlapping"])
+def test_matches_oracle(spark, strategy):
+    texts = make_corpus()
+    expected = oracle(texts, 100, strategy)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["__INDEX__", "text"]
+    )
+    res = suffix_array_dedup(df, length_threshold=100, merge_strategy=strategy)
+    got = {r["__INDEX__"]: r["text"] for r in res.docs.collect()}
+    for i, exp in enumerate(expected):
+        assert got[i] == exp, f"doc {i}"
+    # the planted long duplicate must actually be removed from one side
+    assert len(got[10]) < len(texts[10]) or len(got[55]) < len(texts[55])
+    # below-threshold chunk untouched
+    assert got[20] == texts[20] and got[70] == texts[70]
+    kept_ids = {r["__INDEX__"] for r in res.kept.collect()}
+    assert kept_ids == {i for i, t in enumerate(expected) if len(t) > 0}
+
+
+def test_identical_docs_fully_removed(spark):
+    base = "x " * 200  # 400 bytes of repeated content
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, "unique words only here")],
+        ["__INDEX__", "text"],
+    )
+    res = suffix_array_dedup(df, length_threshold=100)
+    got = {r["__INDEX__"]: r["text"] for r in res.docs.collect()}
+    # ExactSubstr semantics: ALL copies of the duplicated bytes are removed
+    assert got[0] == "" and got[1] == ""
+    assert got[2] == "unique words only here"
+    assert {r["__INDEX__"] for r in res.kept.collect()} == {2}

@@ -1,0 +1,144 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two tiers (task brief "Similarity search"):
+- ``brute_force_topk``: exact all-pairs top-k. Uses integer-quantized dot
+  products so results are engine-exact (oracle-checkable) — float reduction
+  order never matters. O(n^2) pairs; the correctness baseline.
+- ``lsh_bucketed_topk``: random-hyperplane (sign) LSH buckets: candidates
+  only within matching sketches -> approximate, scales linearly-ish. The
+  scale path for 100 TB embedding tables.
+
+All arithmetic is JVM-side (``transform``/``zip_with``/``aggregate``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantize(vec: Column, scale: int = 1000) -> Column:
+    return F.transform(vec, lambda x: F.round(x * scale).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Float cosine (library use; not oracle-gated — float reduction order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: (x * x).cast("double")), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    emb: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by quantized integer dot product, ties broken by neighbor
+    id — fully deterministic. Returns (vec_id, neighbor_id, dot, rank)."""
+    q = emb.select(F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("q"))
+    a = q.select(F.col("vec_id"), F.col("q").alias("qa"))
+    b = q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
+    pairs = a.crossJoin(b).where(F.col("vec_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "vec_id", "neighbor_id", int_dot(F.col("qa"), F.col("qb")).alias("dot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def sign_sketch(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane bit sketch packed into a long (n_planes <= 63)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, w: (x * w).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for plane in planes
+    ]
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out + (b * F.lit(1 << i).cast("long"))
+    return out
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share a sign-sketch bucket in >=1 of
+    ``n_tables`` hyperplane tables; exact quantized-dot rerank inside
+    buckets. Output schema matches ``brute_force_topk``."""
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        quantize(F.col(vec_col)).alias("q"),
+        F.col(vec_col).alias("v"),
+    )
+    sketched = q.select(
+        "vec_id",
+        "q",
+        F.array(
+            *[
+                sign_sketch(F.col("v"), _hyperplanes(dim, n_planes, seed + t))
+                for t in range(n_tables)
+            ]
+        ).alias("sketches"),
+    )
+    tagged = sketched.select(
+        "vec_id", "q", F.posexplode("sketches").alias("table_id", "bucket")
+    )
+    a = tagged.select("table_id", "bucket", F.col("vec_id"), F.col("q").alias("qa"))
+    b = tagged.select(
+        "table_id",
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+    )
+    cands = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "qa", "qb")
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "vec_id", "neighbor_id", int_dot(F.col("qa"), F.col("qb")).alias("dot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "dot", "rank")
+    )
