@@ -108,21 +108,32 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup candidate pairs (F2/F13 as declarative plan).
 
-    Integer intersection/union sizes; pair kept when jaccard >= 0.5
-    (2*inter >= union) — engine-exact arithmetic."""
+    Inverted-index formulation: explode grams -> equi-join on gram ->
+    groupBy(pair).count() IS the intersection size — no O(n^2) cross join.
+    Semantically identical to all-pairs-with-filter (a pair passing
+    2*inter >= union with union > 0 must share >= 1 gram). Integer
+    arithmetic only, so engine-exact vs the DuckDB oracle."""
     from text_dedup_spark.functions.text_stats import word_ngrams
 
     d = _docs(spark, sf_dir).select(
         F.col("doc_id"), word_ngrams(F.col("text"), 3).alias("grams")
     )
-    a = d.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("ga"))
-    b = d.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gb"))
-    pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("bigint")
-    union = (F.size("ga") + F.size("gb")).cast("bigint") - inter
+    sizes = d.select("doc_id", F.size("grams").cast("bigint").alias("sz"))
+    postings = d.select("doc_id", F.explode("grams").alias("gram"))
+    a = postings.select(F.col("gram"), F.col("doc_id").alias("a_id"))
+    b = postings.select(F.col("gram"), F.col("doc_id").alias("b_id"))
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
     return (
-        pairs.select("a_id", "b_id", inter.alias("inter_size"), union.alias("union_size"))
-        .where((F.col("union_size") > 0) & (F.col("inter_size") * 2 >= F.col("union_size")))
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sza"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "szb"), "b_id")
+        .withColumn("union_size", F.col("sza") + F.col("szb") - F.col("inter_size"))
+        .where(F.col("inter_size") * 2 >= F.col("union_size"))
+        .select("a_id", "b_id", "inter_size", "union_size")
     )
 
 
@@ -163,8 +174,13 @@ def _minhash_common(spark: SparkSession, sf_dir: str, check_fp: bool) -> DataFra
     kernel = MinHashKernel(
         num_perm=64, ngram_size=2, min_length=5, threshold=0.5, seed=42
     )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     res = minhash_dedup(
-        _docs(spark, sf_dir), kernel, id_col="doc_id", check_false_positive=check_fp
+        _docs(spark, sf_dir),
+        kernel,
+        id_col="doc_id",
+        check_false_positive=check_fp,
+        repartition_input=n_parts,
     )
     return res.docs.select(
         F.col("doc_id"),
@@ -191,7 +207,10 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_dedup_spark.operators.simhash import simhash_dedup
 
     kernel = SimHashKernel(f=64, bit_diff=3, num_bucket=4, ngram_size=3, min_length=5, seed=42)
-    res = simhash_dedup(_docs(spark, sf_dir), kernel, id_col="doc_id")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    res = simhash_dedup(
+        _docs(spark, sf_dir), kernel, id_col="doc_id", repartition_input=n_parts
+    )
     return res.docs.select(
         F.col("doc_id"),
         F.col(CLUSTER_COL).alias("cluster_id"),

@@ -1,0 +1,98 @@
+"""TOML-driven pipeline config, mirroring the reference's field names.
+
+Reference: ``src/text_dedup/config/base.py:16-43`` (Config with input/
+algorithm/output sections), ``config/io/input_configs.py`` /
+``output_configs.py``, algorithm models under ``config/algorithms/``.
+Field names and defaults are kept identical so a reference TOML ports by
+changing only the input/output sections to Spark sources/sinks.
+
+Uses stdlib ``tomllib`` + dataclasses (pydantic-settings' TOML machinery is
+not needed; validation is explicit).
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class InputConfig:
+    input_type: str = "local_files"  # local_files | table
+    file_type: str = "parquet"  # parquet | csv | json
+    read_arguments: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class OutputConfig:
+    output_dir: str = "output"
+    skip_filtering: bool = False
+    clean_cache: bool = False
+    save_clusters: bool = False
+    keep_index_column: bool = False
+    keep_cluster_column: bool = False
+
+
+@dataclass
+class AlgorithmConfig:
+    algorithm_name: str = "minhash"  # minhash | simhash | bloom_filter | suffix_array
+    text_column: str = "text"
+    index_column: str | None = None
+    cluster_column: str = "__CLUSTER__"
+    seed: int = 42
+    # minhash
+    num_perm: int = 200
+    ngram_size: int = 1
+    threshold: float = 0.5
+    min_length: int = 5
+    hash_bits: int = 64
+    hash_func_name: str = "xxh3"
+    bands: int | None = None
+    rows: int | None = None
+    false_positive_weight: float = 0.5
+    false_negative_weight: float = 0.5
+    check_false_positive: bool = False
+    # simhash
+    f: int = 64
+    bit_diff: int = 3
+    num_bucket: int = 4
+    jaccard_threshold: float = 0.5
+    # suffix array
+    merge_strategy: str = "longest"
+    length_threshold: int = 100
+
+
+@dataclass
+class SparkConfig:
+    master: str | None = None
+    shuffle_partitions: int | None = None
+    run_dir: str | None = None  # checkpoint/resume root; None disables
+
+
+@dataclass
+class Config:
+    input: InputConfig = field(default_factory=InputConfig)
+    algorithm: AlgorithmConfig = field(default_factory=AlgorithmConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+    spark: SparkConfig = field(default_factory=SparkConfig)
+
+
+def _fill(cls, data: dict):
+    names = {f.name for f in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+    unknown = set(data) - names
+    if unknown:
+        raise ValueError(f"unknown {cls.__name__} fields: {sorted(unknown)}")
+    return cls(**data)
+
+
+def load_config(path: str) -> Config:
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+    raw.pop("debug", None)  # reference-only section
+    return Config(
+        input=_fill(InputConfig, raw.get("input", {})),
+        algorithm=_fill(AlgorithmConfig, raw.get("algorithm", {})),
+        output=_fill(OutputConfig, raw.get("output", {})),
+        spark=_fill(SparkConfig, raw.get("spark", {})),
+    )

@@ -184,10 +184,17 @@ def minhash_dedup(
     id_col: str = INDEX_COL,
     check_false_positive: bool = False,
     skip_filtering: bool = False,
+    repartition_input: int | None = None,
 ) -> MinHashDedupResult:
     """End-to-end MinHash dedup. ``df`` must already carry a unique long id
-    in ``id_col`` (see ``operators.ids.assign_ids``)."""
+    in ``id_col`` (see ``operators.ids.assign_ids``).
+
+    ``repartition_input``: spread the CPU-heavy fingerprint UDF across N
+    partitions. Needed when the source is a handful of files (bench/test
+    inputs); leave None at scale where file splits give parallelism."""
     docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
+    if repartition_input:
+        docs = docs.repartition(repartition_input, F.col(INDEX_COL))
 
     with_bands = docs.withColumn("__BANDS__", _bands_udf(kernel)(F.col(text_col)))
     filtered = with_bands.where(F.col("__BANDS__").isNotNull())

@@ -167,8 +167,11 @@ def simhash_dedup(
     jaccard_threshold: float = 0.5,
     skip_filtering: bool = False,
     max_bucket_size: int | None = None,
+    repartition_input: int | None = None,
 ) -> SimHashDedupResult:
     docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
+    if repartition_input:
+        docs = docs.repartition(repartition_input, F.col(INDEX_COL))
     fps = simhash_fingerprint(docs, kernel, text_col)
     edges = simhash_edges(fps, kernel.bit_diff, max_bucket_size)
     mapping = connected_components(edges)
