@@ -1,0 +1,109 @@
+"""Streaming dedup + multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from text_dedup_spark.functions.multimodal import (
+    decode_media,
+    extract_features,
+    make_synth_media,
+    resize_image,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (i, make_synth_media(kind=i % 3, w=32, h=16, n_frames=(i % 3) * 3 + 1, seed=i))
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "id long, media binary").repartition(4)
+
+
+class TestMultimodal:
+    def test_decode(self, media_df):
+        got = {r["id"]: r for r in decode_media(media_df).collect()}
+        assert len(got) == 20
+        for i in range(20):
+            assert got[i]["width"] == 32 and got[i]["height"] == 16
+            assert got[i]["n_frames"] == (i % 3) * 3 + 1
+            assert 0 <= got[i]["mean_px"] <= 255
+
+    def test_features_deterministic(self, media_df):
+        a = {r["id"]: r["features"] for r in extract_features(media_df).collect()}
+        b = {r["id"]: r["features"] for r in extract_features(media_df).collect()}
+        assert a == b
+        assert all(len(v) == 16 for v in a.values())
+        assert all(abs(sum(v) - 1.0) < 1e-9 for v in a.values())
+
+    def test_resize_roundtrip(self, media_df):
+        resized = resize_image(media_df, 8, 8)
+        meta = {r["id"]: r for r in decode_media(resized).collect()}
+        assert all(m["width"] == 8 and m["height"] == 8 and m["n_frames"] == 1 for m in meta.values())
+
+    def test_frame_sampling(self, media_df):
+        frames = sample_frames(media_df, every_k=2).collect()
+        expected = sum(len(range(0, (i % 3) * 3 + 1, 2)) for i in range(20))
+        assert len(frames) == expected
+
+    def test_non_synth_raises(self, spark):
+        df = spark.createDataFrame([(0, b"JPEG-ish-bytes")], "id long, media binary")
+        with pytest.raises(Exception, match="NotImplementedError|no codec"):
+            decode_media(df).collect()
+
+
+class TestStreamingDedup:
+    def test_exact_dedup_stream_file_source(self, spark, tmp_path):
+        from text_dedup_spark.streaming.dedup_stream import exact_dedup_stream
+
+        src = tmp_path / "src"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        src.mkdir()
+        texts = [f"doc number {i % 30}" for i in range(100)]  # 30 distinct
+        # three arrival chunks
+        for c in range(3):
+            chunk = [(i, texts[i]) for i in range(c * 33, min((c + 1) * 34, 100))]
+            spark.createDataFrame(chunk, "id long, text string").write.mode(
+                "append"
+            ).parquet(str(src))
+
+        stream = spark.readStream.schema("id long, text string").parquet(str(src))
+        deduped = exact_dedup_stream(stream, text_col="text")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        result = spark.read.parquet(str(out))
+        got_texts = [r["text"] for r in result.collect()]
+        assert sorted(set(got_texts)) == sorted({t for t in texts})
+        assert len(got_texts) == 30  # exactly one row per distinct text
+
+    def test_incremental_minhash_batches(self, spark, tmp_path):
+        from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+        from text_dedup_spark.streaming.dedup_stream import incremental_minhash_batch
+
+        kernel = MinHashKernel(num_perm=32, ngram_size=2, min_length=3, threshold=0.5)
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        batches = [
+            [(0, base), (1, "completely different first batch content right here")],
+            [(2, base + " extra"), (3, "unrelated second batch text that is new")],
+            [(4, base)],
+        ]
+        store = str(tmp_path / "bands")
+        results = {}
+        for batch in batches:
+            df = spark.createDataFrame(batch, "__INDEX__ long, text string")
+            out = incremental_minhash_batch(spark, df, kernel, store)
+            results.update({r["__INDEX__"]: r["cluster_id"] for r in out.collect()})
+        assert results[0] == 0  # first occurrence roots its cluster
+        assert results[2] == 0  # near-dup in later batch joins existing cluster
+        assert results[4] == 0  # exact dup joins too
+        assert results[1] == 1 and results[3] == 3  # uniques root themselves

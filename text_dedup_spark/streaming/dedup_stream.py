@@ -1,0 +1,91 @@
+"""Streaming deduplication (Structured Streaming).
+
+The reference is batch-only; a web-scale ingestion pipeline needs the
+streaming counterparts (task brief: Structured Streaming for streams):
+
+- ``exact_dedup_stream``: content-hash ``dropDuplicates`` with an event-time
+  watermark — the streaming equivalent of the Bloom pipeline's
+  "first occurrence wins" (reference ``bloom_filter.py:33-37``), with state
+  bounded by the watermark horizon.
+- ``incremental_minhash_batch``: a ``foreachBatch`` merge step that
+  fingerprints each micro-batch and joins its LSH band values against a
+  persisted band store, so new documents are clustered against everything
+  seen so far without recomputing history. This is the standard
+  streaming-LSH pattern: per-batch work is O(batch x bands) lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+from text_dedup_spark.operators.ids import INDEX_COL
+from text_dedup_spark.operators.minhash import _bands_udf
+
+
+def exact_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-occurrence-wins exact dedup over a stream. With an event-time
+    column, state is dropped past the watermark (late duplicates beyond the
+    horizon pass through — bounded-state tradeoff, documented)."""
+    hashed = stream.withColumn("__H__", F.sha2(F.col(text_col).cast("string"), 256))
+    if event_time_col is not None:
+        hashed = hashed.withWatermark(event_time_col, watermark)
+        return hashed.dropDuplicatesWithinWatermark(["__H__"]).drop("__H__")
+    return hashed.dropDuplicates(["__H__"]).drop("__H__")
+
+
+def incremental_minhash_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    kernel: MinHashKernel,
+    band_store_dir: str,
+    text_col: str = "text",
+    id_col: str = INDEX_COL,
+) -> DataFrame:
+    """foreachBatch body: returns (id, matched_cluster_id nullable) for the
+    batch, and appends the batch's bands to the store. A batch doc matches a
+    cluster when any of its band values collides with a stored band value;
+    unmatched docs become new cluster roots (their own id)."""
+    bands = (
+        batch_df.withColumn("__BANDS__", _bands_udf(kernel)(F.col(text_col)))
+        .where(F.col("__BANDS__").isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode("__BANDS__").alias("__band_idx__", "__band_val__"),
+        )
+    )
+    try:
+        store = spark.read.parquet(band_store_dir)
+        matches = (
+            bands.join(
+                store.select(
+                    F.col("__band_idx__"),
+                    F.col("__band_val__"),
+                    F.col("cluster_id").alias("__match__"),
+                ),
+                ["__band_idx__", "__band_val__"],
+            )
+            .groupBy(id_col)
+            .agg(F.min("__match__").alias("matched_cluster_id"))
+        )
+    except Exception:  # first batch: empty store
+        matches = bands.select(F.col(id_col)).distinct().withColumn(
+            "matched_cluster_id", F.lit(None).cast("long")
+        ).limit(0)
+
+    assigned = (
+        bands.select(id_col).distinct()
+        .join(matches, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("matched_cluster_id", F.col(id_col)))
+        .select(id_col, "cluster_id")
+    )
+    bands.join(assigned, id_col).select(
+        "__band_idx__", "__band_val__", "cluster_id"
+    ).write.mode("append").parquet(band_store_dir)
+    return assigned
