@@ -1,0 +1,110 @@
+"""End-to-end pipeline runner tests: TOML config, all four algorithms,
+checkpoint resume semantics."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from text_dedup_spark.config import load_config
+from text_dedup_spark.pipeline import run_pipeline
+from text_dedup_spark.sources.web_pages import make_web_pages
+
+
+@pytest.fixture(scope="module")
+def input_parquet(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipein")
+    corpus = make_web_pages(n_docs=200, seed=3)
+    spark.createDataFrame(corpus.pages).write.mode("overwrite").parquet(str(d / "pages"))
+    return str(d / "pages")
+
+
+def write_config(tmp_path: Path, input_path: str, algo_section: str, outdir: str, extra_output: str = "", spark_section: str = "") -> str:
+    cfg = f"""
+[input]
+input_type = "local_files"
+file_type = "parquet"
+[input.read_arguments]
+path = "{input_path}"
+
+[algorithm]
+text_column = "text"
+{algo_section}
+
+[output]
+output_dir = "{outdir}"
+{extra_output}
+{spark_section}
+"""
+    p = tmp_path / "config.toml"
+    p.write_text(cfg)
+    return str(p)
+
+
+class TestPipeline:
+    def test_minhash_toml_run(self, spark, input_parquet, tmp_path):
+        cfgp = write_config(
+            tmp_path,
+            input_parquet,
+            'algorithm_name = "minhash"\nnum_perm = 64\nngram_size = 2\nthreshold = 0.5\nmin_length = 5',
+            str(tmp_path / "out"),
+            extra_output="save_clusters = true",
+        )
+        summary = run_pipeline(load_config(cfgp), spark=spark)
+        assert summary["rows_after"] > 0
+        data = spark.read.parquet(str(tmp_path / "out/data"))
+        assert "__INDEX__" in data.columns  # save_clusters forces keep-index
+        assert "__duplicate__" not in data.columns
+        clusters = spark.read.parquet(str(tmp_path / "out/clusters"))
+        assert clusters.columns == ["id", "cluster"]
+        assert clusters.count() > 0
+
+    def test_bloom_filter_run(self, spark, input_parquet, tmp_path):
+        cfgp = write_config(
+            tmp_path,
+            input_parquet,
+            'algorithm_name = "bloom_filter"',
+            str(tmp_path / "out"),
+        )
+        summary = run_pipeline(load_config(cfgp), spark=spark)
+        n_distinct = spark.read.parquet(input_parquet).select("text").distinct().count()
+        assert summary["rows_after"] == n_distinct
+
+    def test_suffix_array_run(self, spark, input_parquet, tmp_path):
+        cfgp = write_config(
+            tmp_path,
+            input_parquet,
+            'algorithm_name = "suffix_array"\nlength_threshold = 100\nmerge_strategy = "longest"',
+            str(tmp_path / "out"),
+        )
+        summary = run_pipeline(load_config(cfgp), spark=spark)
+        assert 0 < summary["rows_after"] <= 200
+
+    def test_simhash_run_and_resume(self, spark, input_parquet, tmp_path):
+        run_dir = tmp_path / "ckpts"
+        cfgp = write_config(
+            tmp_path,
+            input_parquet,
+            'algorithm_name = "simhash"\nf = 64\nbit_diff = 3\nnum_bucket = 4\nngram_size = 3',
+            str(tmp_path / "out"),
+            spark_section=f'[spark]\nrun_dir = "{run_dir}"',
+        )
+        s1 = run_pipeline(load_config(cfgp), spark=spark)
+        assert all(not st["resumed"] for st in s1["stages"])
+        manifest = json.loads((run_dir / "assigned" / "manifest.json").read_text())
+        assert manifest["rows"] == 200 and "partition_skew" in manifest
+        # second run resumes every stage from checkpoints
+        s2 = run_pipeline(load_config(cfgp), spark=spark)
+        assert all(st["resumed"] for st in s2["stages"])
+        assert s2["rows_after"] == s1["rows_after"]
+        # changed config -> stage re-runs
+        cfgp3 = write_config(
+            tmp_path,
+            input_parquet,
+            'algorithm_name = "simhash"\nf = 64\nbit_diff = 2\nnum_bucket = 4\nngram_size = 3',
+            str(tmp_path / "out"),
+            spark_section=f'[spark]\nrun_dir = "{run_dir}"',
+        )
+        s3 = run_pipeline(load_config(cfgp3), spark=spark)
+        assigned_stage = [st for st in s3["stages"] if st["stage"] == "assigned"][0]
+        assert not assigned_stage["resumed"]

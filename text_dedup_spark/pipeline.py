@@ -1,0 +1,219 @@
+"""End-to-end pipeline runner: TOML config -> staged, checkpoint-resumable
+Spark job (the counterpart of the reference's ``python -m text_dedup.minhash``
+lifecycle, SURVEY.md §3.1, re-expressed as checkpointed DataFrame stages).
+
+Stages (each checkpointed to ``spark.run_dir`` when set, resumable by config
+hash): ids -> clusters -> assigned -> final. Outputs: ``{output_dir}/data``
+parquet (internal columns dropped per keep-flags, reference io.py:79-94) and
+``{output_dir}/clusters`` parquet when ``save_clusters`` (reference
+clusters.pickle equivalent; S5).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_dedup_spark.config import Config
+from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL, INDEX_COL
+
+
+def read_input(spark: SparkSession, config: Config) -> DataFrame:
+    args = dict(config.input.read_arguments)
+    path = args.pop("path")
+    reader = spark.read.options(**{k: str(v) for k, v in args.items()})
+    ft = config.input.file_type
+    if ft == "parquet":
+        return reader.parquet(path)
+    if ft == "csv":
+        return reader.option("header", "true").csv(path)
+    if ft == "json":
+        return reader.json(path)
+    raise ValueError(f"unsupported file_type: {ft}")
+
+
+def _with_ids(df: DataFrame, config: Config) -> DataFrame:
+    algo = config.algorithm
+    if algo.index_column:
+        return df.withColumn(INDEX_COL, F.col(algo.index_column).cast("long"))
+    # load-order ordinal (reference io.py:39-44): row_number over the
+    # physical order captured by monotonically_increasing_id
+    from pyspark.sql import Window
+
+    return (
+        df.withColumn("__ord__", F.monotonically_increasing_id())
+        .withColumn(
+            INDEX_COL,
+            F.row_number().over(Window.orderBy("__ord__")) - F.lit(1).cast("long"),
+        )
+        .drop("__ord__")
+    )
+
+
+def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
+    from text_dedup_spark.session import get_spark
+
+    if spark is None:
+        conf = {}
+        if config.spark.shuffle_partitions:
+            conf["spark.sql.shuffle.partitions"] = str(config.spark.shuffle_partitions)
+        spark = get_spark("text-dedup-spark", master=config.spark.master, conf=conf)
+
+    algo = config.algorithm
+    t0 = time.time()
+
+    runner = None
+    if config.spark.run_dir:
+        from text_dedup_spark.plans.checkpoints import StageRunner
+
+        runner = StageRunner(spark, config.spark.run_dir)
+
+    def stage(name: str, cfg, build):
+        if runner is None:
+            return build()
+        return runner.stage(name, cfg, build)
+
+    cfg_dict = asdict(config)
+    docs = stage("ids", {"cfg": cfg_dict, "stage": "ids"}, lambda: _with_ids(read_input(spark, config), config))
+
+    clusters: DataFrame | None = None
+    if algo.algorithm_name == "minhash":
+        from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+        from text_dedup_spark.operators.minhash import minhash_dedup
+
+        kernel = MinHashKernel(
+            num_perm=algo.num_perm,
+            ngram_size=algo.ngram_size,
+            min_length=algo.min_length,
+            threshold=algo.threshold,
+            hash_bits=algo.hash_bits,
+            hash_func_name=algo.hash_func_name,
+            seed=algo.seed,
+            bands=algo.bands,
+            rows=algo.rows,
+            false_positive_weight=algo.false_positive_weight,
+            false_negative_weight=algo.false_negative_weight,
+        )
+
+        def build_assigned():
+            res = minhash_dedup(
+                docs,
+                kernel,
+                text_col=algo.text_column,
+                check_false_positive=algo.check_false_positive,
+                skip_filtering=True,
+            )
+            return res.docs
+
+        assigned = stage("assigned", {"cfg": cfg_dict, "stage": "assigned"}, build_assigned)
+        final = (
+            assigned
+            if config.output.skip_filtering
+            else assigned.where(F.col(CLUSTER_COL) == F.col(INDEX_COL))
+        )
+        clusters = assigned.where(F.col(DUPLICATE_COL)).select(
+            F.col(INDEX_COL).alias("id"), F.col(CLUSTER_COL).alias("cluster")
+        )
+    elif algo.algorithm_name == "simhash":
+        from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
+        from text_dedup_spark.operators.simhash import simhash_dedup
+
+        kernel = SimHashKernel(
+            f=algo.f,
+            bit_diff=algo.bit_diff,
+            num_bucket=algo.num_bucket,
+            ngram_size=algo.ngram_size,
+            min_length=algo.min_length,
+            seed=algo.seed,
+        )
+
+        def build_assigned():
+            return simhash_dedup(
+                docs,
+                kernel,
+                text_col=algo.text_column,
+                check_false_positive=algo.check_false_positive,
+                jaccard_threshold=algo.jaccard_threshold,
+                skip_filtering=True,
+            ).docs
+
+        assigned = stage("assigned", {"cfg": cfg_dict, "stage": "assigned"}, build_assigned)
+        final = (
+            assigned
+            if config.output.skip_filtering
+            else assigned.where(~F.col(DUPLICATE_COL))
+        )
+        clusters = assigned.where(F.col(CLUSTER_COL) != F.col(INDEX_COL)).select(
+            F.col(INDEX_COL).alias("id"), F.col(CLUSTER_COL).alias("cluster")
+        )
+    elif algo.algorithm_name == "bloom_filter":
+        from text_dedup_spark.operators.exact import exact_dedup
+
+        def build_flags():
+            return exact_dedup(docs, text_col=algo.text_column, skip_filtering=True).docs
+
+        flagged = stage("assigned", {"cfg": cfg_dict, "stage": "assigned"}, build_flags)
+        final = (
+            flagged if config.output.skip_filtering else flagged.where(~F.col(DUPLICATE_COL))
+        )
+    elif algo.algorithm_name == "suffix_array":
+        from text_dedup_spark.operators.suffix_dedup import suffix_array_dedup
+
+        def build_rewritten():
+            return suffix_array_dedup(
+                docs,
+                text_col=algo.text_column,
+                length_threshold=algo.length_threshold,
+                merge_strategy=algo.merge_strategy,
+            ).docs
+
+        rewritten = stage("assigned", {"cfg": cfg_dict, "stage": "assigned"}, build_rewritten)
+        final = rewritten.where(F.length(F.col(algo.text_column)) > 0)
+    else:
+        raise ValueError(f"unknown algorithm: {algo.algorithm_name}")
+
+    # output column policy (reference io.py:79-94)
+    drop_cols = []
+    if not (config.output.keep_index_column or config.output.save_clusters):
+        drop_cols.append(INDEX_COL)
+    if CLUSTER_COL in final.columns and not (
+        config.output.keep_cluster_column or config.output.save_clusters
+    ):
+        drop_cols.append(CLUSTER_COL)
+    if DUPLICATE_COL in final.columns:
+        drop_cols.append(DUPLICATE_COL)
+    out = Path(config.output.output_dir)
+    final.drop(*drop_cols).write.mode("overwrite").parquet(str(out / "data"))
+    if config.output.save_clusters and clusters is not None:
+        clusters.write.mode("overwrite").parquet(str(out / "clusters"))
+
+    n_after = spark.read.parquet(str(out / "data")).count()
+    summary = {
+        "algorithm": algo.algorithm_name,
+        "rows_after": n_after,
+        "wall_sec": round(time.time() - t0, 3),
+        "output_dir": str(out),
+        "stages": runner.manifest_log if runner else [],
+    }
+    return summary
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+    import json
+
+    from text_dedup_spark.config import load_config
+
+    p = argparse.ArgumentParser(description="text-dedup-spark pipeline")
+    p.add_argument("--config", required=True, help="TOML config path")
+    args = p.parse_args(argv)
+    summary = run_pipeline(load_config(args.config))
+    print(json.dumps(summary, indent=2, default=str))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -48,12 +48,14 @@ class WebPagesCorpus:
 def make_web_pages(n_docs: int = 1000, seed: int = 42) -> WebPagesCorpus:
     rng = np.random.RandomState(seed)
     vocab = _vocab(rng)
-    # zipfian word distribution over the vocab
+    # zipfian word distribution over the vocab (inverse-CDF sampling — much
+    # faster than rng.choice(p=...) for large corpora)
     ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
     probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    cum = np.cumsum(probs)
 
     def sample_doc(n_words: int) -> list[str]:
-        return list(vocab[rng.choice(len(vocab), size=n_words, p=probs)])
+        return list(vocab[np.searchsorted(cum, rng.rand(n_words))])
 
     texts: list[str] = []
     labels: list[int] = []
@@ -80,7 +82,7 @@ def make_web_pages(n_docs: int = 1000, seed: int = 42) -> WebPagesCorpus:
                     if rng.rand() < 0.5 and len(words) > 10:
                         words.pop(pos)
                     else:
-                        words[pos] = str(vocab[rng.choice(len(vocab), p=probs)])
+                        words[pos] = str(vocab[np.searchsorted(cum, rng.rand())])
                 texts.append(" ".join(words))
                 labels.append(cluster_label)
                 doc_i += 1

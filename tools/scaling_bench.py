@@ -1,0 +1,116 @@
+"""Two-parallelism scaling benchmark (BASELINE.json north rule evidence).
+
+No real cluster exists in this sandbox, so the N -> 4N executor scaling
+criterion is evidenced by running the SAME minhash-dedup job on the SAME
+input at local[8] and local[32] (fresh JVM each) and reporting throughput at
+both plus efficiency = (thr_32 / thr_8) / 4.
+
+Usage: python tools/scaling_bench.py [n_docs] (default 100000)
+Writes results JSON to stdout; BENCH.md records the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+DATA = Path("/tmp/spark_graft_scale")
+
+RUN_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, "{repo}")
+from text_dedup_spark.session import get_spark
+from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+from text_dedup_spark.operators.minhash import minhash_dedup
+from text_dedup_spark.operators.ids import INDEX_COL
+
+cpus = {cpus}
+spark = get_spark("scaling", master=f"local[{cpus}]",
+                  conf={{"spark.sql.shuffle.partitions": str(max(cpus, 8))}})
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet("{data}/pages")
+n = df.count()
+kernel = MinHashKernel(num_perm=128, ngram_size=2, min_length=5, threshold=0.5)
+t0 = time.time()
+res = minhash_dedup(df, kernel, id_col="doc_id", repartition_input=max(cpus, 8) * 4)
+kept = res.kept.count()
+wall = time.time() - t0
+print(json.dumps({{"cpus": cpus, "docs": n, "kept": kept, "wall_sec": round(wall, 2),
+                   "docs_per_sec": round(n / wall, 1)}}))
+spark.stop()
+"""
+
+
+def ensure_corpus(n_docs: int) -> None:
+    marker = DATA / f"pages_{n_docs}.ok"
+    if marker.exists():
+        return
+    print(f"# generating {n_docs} synthetic web pages...", file=sys.stderr)
+    sys.path.insert(0, str(REPO))
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_dedup_spark.sources.web_pages import make_web_pages
+
+    corpus = make_web_pages(n_docs=n_docs, seed=42)
+    # text payload only for the dedup job (nanosecond timestamps are not
+    # Spark-readable parquet; warc_ts is irrelevant to the benchmark)
+    pages = corpus.pages.drop(columns=["html", "warc_ts"])
+    pages["doc_id"] = np.arange(len(pages), dtype=np.int64)
+    (DATA / "pages").mkdir(parents=True, exist_ok=True)
+    for old in (DATA / "pages").glob("*.parquet"):
+        old.unlink()
+    tbl = pa.Table.from_pandas(pages, preserve_index=False)
+    n_files = 32
+    rows_per = (len(pages) + n_files - 1) // n_files
+    for i in range(n_files):
+        pq.write_table(tbl.slice(i * rows_per, rows_per), DATA / "pages" / f"part-{i:03d}.parquet")
+    marker.write_text("ok")
+
+
+def run_at(cpus: int) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, data=DATA)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        env={**os.environ, "PYTHONPATH": str(REPO)},
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    ensure_corpus(n_docs)
+    results = {}
+    for cpus in (8, 32):
+        t0 = time.time()
+        results[cpus] = run_at(cpus)
+        print(f"# local[{cpus}]: {results[cpus]} (total {time.time()-t0:.0f}s)", file=sys.stderr)
+    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4
+    print(
+        json.dumps(
+            {
+                "metric": "minhash dedup scaling local[8] -> local[32]",
+                "n_docs": n_docs,
+                "local8": results[8],
+                "local32": results[32],
+                "speedup": round(results[32]["docs_per_sec"] / results[8]["docs_per_sec"], 3),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
