@@ -218,6 +218,30 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (reference suffix_array.py; S6, X1-X3, P6-P7).
+
+    length_threshold=50 so the synthetic docs exercise removals; returns the
+    per-doc byte shrinkage."""
+    from text_dedup_spark.operators.suffix_dedup import suffix_array_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    res = suffix_array_dedup(
+        d, text_col="text", id_col="doc_id", length_threshold=50
+    )
+    orig = d.select("doc_id", F.length(F.encode("text", "utf-8")).alias("orig_bytes"))
+    return (
+        res.docs.select("doc_id", F.length(F.encode("text", "utf-8")).alias("kept_bytes"))
+        .join(orig, "doc_id")
+        .select(
+            "doc_id",
+            "orig_bytes",
+            "kept_bytes",
+            (F.col("orig_bytes") - F.col("kept_bytes")).alias("removed_bytes"),
+        )
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets (scale path)."""
     from text_dedup_spark.functions.similarity import lsh_bucketed_topk
@@ -250,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_verified": q_minhash_dedup_verified,
         "simhash_dedup": q_simhash_dedup,
+        "suffix_dedup": q_suffix_dedup,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 

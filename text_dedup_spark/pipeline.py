@@ -190,6 +190,15 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
     final.drop(*drop_cols).write.mode("overwrite").parquet(str(out / "data"))
     if config.output.save_clusters and clusters is not None:
         clusters.write.mode("overwrite").parquet(str(out / "clusters"))
+        # small-scale compatibility export of the reference's clusters.pickle
+        # (io.py:76-77) — dict[id, cluster]; only when it fits on the driver
+        n_clusters = clusters.count()
+        if n_clusters <= 5_000_000:
+            import pickle
+
+            mapping = {r["id"]: r["cluster"] for r in clusters.collect()}
+            with open(out / "clusters.pickle", "wb") as f:
+                pickle.dump(mapping, f, protocol=pickle.HIGHEST_PROTOCOL)
 
     n_after = spark.read.parquet(str(out / "data")).count()
     summary = {
