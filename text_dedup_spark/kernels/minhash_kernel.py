@@ -148,8 +148,12 @@ class MinHashKernel:
         masks = np.full(shape=self.num_perm, dtype=self.dtype, fill_value=self.max_hash)
         if not all_hashes:
             return [self.band_values(masks) for _ in range(n_docs)]
-        hv = np.asarray(all_hashes, dtype=self.dtype).reshape(-1, 1)
-        hv = (hv * self.a + self.b) % self.modulo_prime & self.max_hash
+        # (h*a + b) % P & max — outer product + in-place ops (identical
+        # uint wraparound semantics, no large temporaries)
+        hv = np.multiply.outer(np.asarray(all_hashes, dtype=self.dtype), self.a)
+        hv += self.b
+        hv %= self.modulo_prime
+        hv &= self.dtype(self.max_hash)
         out: list[list[bytes]] = []
         for i in range(n_docs):
             s, e = offsets[i], offsets[i + 1]
