@@ -197,7 +197,10 @@ def minhash_dedup(
         docs = docs.repartition(repartition_input, F.col(INDEX_COL))
 
     with_bands = docs.withColumn("__BANDS__", _bands_udf(kernel)(F.col(text_col)))
-    filtered = with_bands.where(F.col("__BANDS__").isNotNull())
+    # the bands DataFrame feeds three consumers (band roots, edge join-back,
+    # cluster assignment) — persist so the expensive fingerprint UDF runs
+    # exactly once (at cluster scale this is the fingerprint checkpoint table)
+    filtered = with_bands.where(F.col("__BANDS__").isNotNull()).persist()
 
     exploded = filtered.select(
         F.col(INDEX_COL),

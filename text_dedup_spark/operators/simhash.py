@@ -172,7 +172,9 @@ def simhash_dedup(
     docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
     if repartition_input:
         docs = docs.repartition(repartition_input, F.col(INDEX_COL))
-    fps = simhash_fingerprint(docs, kernel, text_col)
+    # persist: the fingerprint UDF output is consumed by both sides of the
+    # bucket self-join (and bucket-size capping when enabled)
+    fps = simhash_fingerprint(docs, kernel, text_col).persist()
     edges = simhash_edges(fps, kernel.bit_diff, max_bucket_size)
     mapping = connected_components(edges)
 
