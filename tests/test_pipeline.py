@@ -108,3 +108,14 @@ class TestPipeline:
         s3 = run_pipeline(load_config(cfgp3), spark=spark)
         assigned_stage = [st for st in s3["stages"] if st["stage"] == "assigned"][0]
         assert not assigned_stage["resumed"]
+
+
+class TestSplitSlicing:
+    def test_apply_split(self, spark):
+        from text_dedup_spark.pipeline import _apply_split
+
+        df = spark.range(100)
+        assert _apply_split(df, None).count() == 100
+        assert _apply_split(df, "train").count() == 100
+        assert _apply_split(df, "train[:10]").count() == 10
+        assert _apply_split(df, "train[:2%]").count() == 2

@@ -206,7 +206,9 @@ def minhash_dedup(
         F.col(INDEX_COL),
         F.posexplode("__BANDS__").alias("__band_idx__", "__band_val__"),
     )
-    edges = lsh_star_edges(exploded)
+    edges = lsh_star_edges(exploded).observe(
+        "minhash_edges", F.count(F.lit(1)).alias("n_edges")
+    )
     mapping = connected_components(edges)
 
     assigned = assign_clusters(filtered.drop("__BANDS__"), mapping)

@@ -25,15 +25,36 @@ from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL, INDEX_COL
 def read_input(spark: SparkSession, config: Config) -> DataFrame:
     args = dict(config.input.read_arguments)
     path = args.pop("path")
+    split = args.pop("split", None)
     reader = spark.read.options(**{k: str(v) for k, v in args.items()})
     ft = config.input.file_type
     if ft == "parquet":
-        return reader.parquet(path)
-    if ft == "csv":
-        return reader.option("header", "true").csv(path)
-    if ft == "json":
-        return reader.json(path)
-    raise ValueError(f"unsupported file_type: {ft}")
+        df = reader.parquet(path)
+    elif ft == "csv":
+        df = reader.option("header", "true").csv(path)
+    elif ft == "json":
+        df = reader.json(path)
+    else:
+        raise ValueError(f"unsupported file_type: {ft}")
+    return _apply_split(df, split)
+
+
+def _apply_split(df: DataFrame, split: str | None) -> DataFrame:
+    """HF-style split slicing (reference S2, ``config.toml:7`` uses
+    ``train[:2%]``): deterministic prefix limits. Supports
+    ``name[:N]`` (first N rows) and ``name[:P%]`` (first P percent)."""
+    if not split or "[" not in split:
+        return df
+    import re as _re
+
+    m = _re.search(r"\[\s*:\s*(\d+)(%?)\s*\]", split)
+    if not m:
+        raise ValueError(f"unsupported split expression: {split}")
+    n, pct = int(m.group(1)), m.group(2) == "%"
+    if pct:
+        total = df.count()
+        n = total * n // 100
+    return df.limit(n)
 
 
 def _with_ids(df: DataFrame, config: Config) -> DataFrame:
