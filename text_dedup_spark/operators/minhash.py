@@ -48,9 +48,11 @@ class MinHashDedupResult:
 
 def _bands_udf(kernel: MinHashKernel):
     """Arrow-batched fingerprint: None for docs failing the min_length
-    filter (reference ``minhash.py:23-28``), else the list of band values."""
+    filter (reference ``minhash.py:23-28``), else one concatenated
+    byteswapped signature blob (bands split JVM-side — a single binary per
+    doc is ~2x cheaper to ship through Arrow than list<binary>)."""
 
-    @F.pandas_udf(ArrayType(BinaryType()))
+    @F.pandas_udf(BinaryType())
     def bands(texts: pd.Series) -> pd.Series:
         from text_dedup_spark.kernels.tokenization import ngrams, tokenize
 
@@ -66,14 +68,28 @@ def _bands_udf(kernel: MinHashKernel):
                         for g in ngrams(tokens, kernel.ngram_size, kernel.min_length)
                     }
                 )
-        out: list[list[bytes] | None] = [None] * len(shingle_sets)
+        out: list[bytes | None] = [None] * len(shingle_sets)
         keep_idx = [i for i, s in enumerate(shingle_sets) if s is not None]
-        embedded = kernel.embed_batch_shingles([shingle_sets[i] for i in keep_idx])
+        embedded = kernel.embed_batch_concat([shingle_sets[i] for i in keep_idx])
         for i, b in zip(keep_idx, embedded, strict=True):
             out[i] = b
         return pd.Series(out)
 
     return bands
+
+
+def _explode_bands(filtered: DataFrame, kernel: MinHashKernel) -> DataFrame:
+    """Split the concatenated signature blob into (band_idx, band_val) rows
+    JVM-side (whole-stage codegen, no Python)."""
+    bb = kernel.band_nbytes
+    band_slices = F.transform(
+        F.sequence(F.lit(0), F.lit(kernel.bands - 1)),
+        lambda i: F.substring(F.col("__BANDS__"), i * F.lit(bb) + 1, F.lit(bb)),
+    )
+    return filtered.select(
+        F.col(INDEX_COL),
+        F.posexplode(band_slices).alias("__band_idx__", "__band_val__"),
+    )
 
 
 def jaccard_pair_udf(ngram_size: int, min_length: int):
@@ -96,16 +112,10 @@ def jaccard_pair_udf(ngram_size: int, min_length: int):
 
 
 def minhash_fingerprint(df: DataFrame, kernel: MinHashKernel, text_col: str = "text") -> DataFrame:
-    """filter(min_length) + embed + posexplode -> (__INDEX__, __band_idx__,
+    """filter(min_length) + embed + band split -> (__INDEX__, __band_idx__,
     __band_val__). Equivalent of reference P1+F1..F7 (minhash.py:23-44)."""
     with_bands = df.withColumn("__BANDS__", _bands_udf(kernel)(F.col(text_col)))
-    return (
-        with_bands.where(F.col("__BANDS__").isNotNull())
-        .select(
-            F.col(INDEX_COL),
-            F.posexplode("__BANDS__").alias("__band_idx__", "__band_val__"),
-        )
-    )
+    return _explode_bands(with_bands.where(F.col("__BANDS__").isNotNull()), kernel)
 
 
 def lsh_star_edges(exploded: DataFrame) -> DataFrame:
@@ -202,10 +212,7 @@ def minhash_dedup(
     # exactly once (at cluster scale this is the fingerprint checkpoint table)
     filtered = with_bands.where(F.col("__BANDS__").isNotNull()).persist()
 
-    exploded = filtered.select(
-        F.col(INDEX_COL),
-        F.posexplode("__BANDS__").alias("__band_idx__", "__band_val__"),
-    )
+    exploded = _explode_bands(filtered, kernel)
     edges = lsh_star_edges(exploded).observe(
         "minhash_edges", F.count(F.lit(1)).alias("n_edges")
     )

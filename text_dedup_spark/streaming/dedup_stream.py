@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
 from text_dedup_spark.operators.ids import INDEX_COL
-from text_dedup_spark.operators.minhash import _bands_udf
+from text_dedup_spark.operators.minhash import _bands_udf, _explode_bands
 
 
 def exact_dedup_stream(
@@ -52,14 +52,14 @@ def incremental_minhash_batch(
     batch, and appends the batch's bands to the store. A batch doc matches a
     cluster when any of its band values collides with a stored band value;
     unmatched docs become new cluster roots (their own id)."""
-    bands = (
-        batch_df.withColumn("__BANDS__", _bands_udf(kernel)(F.col(text_col)))
-        .where(F.col("__BANDS__").isNotNull())
-        .select(
-            F.col(id_col),
-            F.posexplode("__BANDS__").alias("__band_idx__", "__band_val__"),
-        )
-    )
+    with_bands = batch_df.withColumn(
+        "__BANDS__", _bands_udf(kernel)(F.col(text_col))
+    ).where(F.col("__BANDS__").isNotNull())
+    if id_col != INDEX_COL:
+        with_bands = with_bands.withColumn(INDEX_COL, F.col(id_col))
+    bands = _explode_bands(with_bands, kernel)
+    if id_col != INDEX_COL:
+        bands = bands.withColumnRenamed(INDEX_COL, id_col)
     try:
         store = spark.read.parquet(band_store_dir)
         matches = (
