@@ -28,17 +28,25 @@ class TestConnectedComponents:
             [(100, 7), (7, 3), (3, 100), (50, 60)],  # cycle
         ],
     )
-    def test_matches_union_find(self, spark, edges):
+    @pytest.mark.parametrize("driver_threshold", [0, 5_000_000])
+    def test_matches_union_find(self, spark, edges, driver_threshold):
+        """driver_threshold=0 forces the distributed large-star/small-star
+        path; the default exercises the driver union-find gate. Both must
+        produce identical min-id labels."""
         uf = UnionFind()
         for a, b in edges:
             if a != b:
                 uf.union(a, b)
         expected = uf.get_clusters()
         df = spark.createDataFrame(edges, ["src", "dst"])
-        got = {r["id"]: r["cluster"] for r in connected_components(df).collect()}
+        got = {
+            r["id"]: r["cluster"]
+            for r in connected_components(df, driver_threshold=driver_threshold).collect()
+        }
         assert got == expected
 
-    def test_random_graphs(self, spark):
+    @pytest.mark.parametrize("driver_threshold", [0, 5_000_000])
+    def test_random_graphs(self, spark, driver_threshold):
         rng = np.random.RandomState(7)
         for trial in range(3):
             n = 200
@@ -48,7 +56,10 @@ class TestConnectedComponents:
                 uf.union(a, b)
             expected = uf.get_clusters()
             df = spark.createDataFrame(m, ["src", "dst"])
-            got = {r["id"]: r["cluster"] for r in connected_components(df).collect()}
+            got = {
+                r["id"]: r["cluster"]
+                for r in connected_components(df, driver_threshold=driver_threshold).collect()
+            }
             assert got == expected, f"trial {trial}"
 
 

@@ -26,17 +26,36 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Compute connected components of an undirected graph given as an edge
     DataFrame. Returns ``(id, cluster)`` for every node appearing in an edge,
     where ``cluster`` is the minimum node id of the component (the component
-    root maps to itself)."""
+    root maps to itself).
+
+    Hybrid strategy (same spirit as Spark's broadcast-join size gate): edge
+    sets up to ``driver_threshold`` are solved with a driver-local union-find
+    in one pass — the iterative join algorithm costs ~8 scheduled jobs of
+    fixed latency, which dwarfs tiny graphs. Above the gate, the distributed
+    large-star/small-star loop runs with NO driver-side state. Both paths
+    produce identical min-id labels (tested against each other)."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    if driver_threshold > 0 and e.count() <= driver_threshold:
+        from text_dedup_spark.kernels.union_find import UnionFind
+
+        uf = UnionFind()
+        for row in e.toLocalIterator(prefetchPartitions=True):
+            uf.union(row["u"], row["v"])
+        mapping = list(uf.get_clusters().items())
+        spark = edges.sparkSession
+        if not mapping:
+            return spark.createDataFrame([], "id long, cluster long")
+        return spark.createDataFrame(mapping, "id long, cluster long")
     prev_sig: tuple | None = None
     for _ in range(max_iterations):
         # --- large-star: connect every strictly-larger neighbor to the

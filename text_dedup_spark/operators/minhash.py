@@ -195,6 +195,7 @@ def minhash_dedup(
     check_false_positive: bool = False,
     skip_filtering: bool = False,
     repartition_input: int | None = None,
+    cc_driver_threshold: int = 5_000_000,
 ) -> MinHashDedupResult:
     """End-to-end MinHash dedup. ``df`` must already carry a unique long id
     in ``id_col`` (see ``operators.ids.assign_ids``).
@@ -216,7 +217,7 @@ def minhash_dedup(
     edges = lsh_star_edges(exploded).observe(
         "minhash_edges", F.count(F.lit(1)).alias("n_edges")
     )
-    mapping = connected_components(edges)
+    mapping = connected_components(edges, driver_threshold=cc_driver_threshold)
 
     assigned = assign_clusters(filtered.drop("__BANDS__"), mapping)
     if check_false_positive:

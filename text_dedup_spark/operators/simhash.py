@@ -168,6 +168,7 @@ def simhash_dedup(
     skip_filtering: bool = False,
     max_bucket_size: int | None = None,
     repartition_input: int | None = None,
+    cc_driver_threshold: int = 5_000_000,
 ) -> SimHashDedupResult:
     docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
     if repartition_input:
@@ -176,7 +177,7 @@ def simhash_dedup(
     # bucket self-join (and bucket-size capping when enabled)
     fps = simhash_fingerprint(docs, kernel, text_col).persist()
     edges = simhash_edges(fps, kernel.bit_diff, max_bucket_size)
-    mapping = connected_components(edges)
+    mapping = connected_components(edges, driver_threshold=cc_driver_threshold)
 
     m = mapping.select(F.col("id").alias(INDEX_COL), F.col("cluster").alias("__C__"))
     assigned = (
