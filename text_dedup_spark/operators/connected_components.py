@@ -39,23 +39,38 @@ def connected_components(
     fixed latency, which dwarfs tiny graphs. Above the gate, the distributed
     large-star/small-star loop runs with NO driver-side state. Both paths
     produce identical min-id labels (tested against each other)."""
-    e = (
+    spark = edges.sparkSession
+    base = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
-    if driver_threshold > 0 and e.count() <= driver_threshold:
+    n_edges = base.count()
+    if driver_threshold > 0 and n_edges <= driver_threshold:
         from text_dedup_spark.kernels.union_find import UnionFind
 
         uf = UnionFind()
-        for row in e.toLocalIterator(prefetchPartitions=True):
-            uf.union(row["u"], row["v"])
-        mapping = list(uf.get_clusters().items())
-        spark = edges.sparkSession
-        if not mapping:
+        # one collect job (<= threshold * 16B on the driver, bounded)
+        for u, v in base.collect():
+            uf.union(u, v)
+        base.unpersist()
+        clusters = uf.get_clusters()
+        if not clusters:
             return spark.createDataFrame([], "id long, cluster long")
-        return spark.createDataFrame(mapping, "id long, cluster long")
+        import numpy as np
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "id": np.fromiter(clusters.keys(), dtype=np.int64, count=len(clusters)),
+                "cluster": np.fromiter(clusters.values(), dtype=np.int64, count=len(clusters)),
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    e = base.localCheckpoint()
+    base.unpersist()
     prev_sig: tuple | None = None
     for _ in range(max_iterations):
         # --- large-star: connect every strictly-larger neighbor to the

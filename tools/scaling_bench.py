@@ -37,7 +37,7 @@ df = spark.read.parquet("{data}/pages")
 n = df.count()
 kernel = MinHashKernel(num_perm=128, ngram_size=2, min_length=5, threshold=0.5)
 t0 = time.time()
-res = minhash_dedup(df, kernel, id_col="doc_id")
+res = minhash_dedup(df, kernel, id_col="doc_id", repartition_input=cpus * 4)
 kept = res.kept.count()
 wall = time.time() - t0
 print(json.dumps({{"cpus": cpus, "docs": n, "kept": kept, "wall_sec": round(wall, 2),
