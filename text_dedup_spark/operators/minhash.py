@@ -130,7 +130,8 @@ def lsh_star_edges(exploded: DataFrame) -> DataFrame:
         exploded.join(roots, ["__band_idx__", "__band_val__"])
         .where(F.col(INDEX_COL) != F.col("__root__"))
         .select(F.col("__root__").alias("src"), F.col(INDEX_COL).alias("dst"))
-        .distinct()
+        # no distinct here: connected_components dedups its input, so an
+        # extra shuffle would be pure overhead
     )
 
 
