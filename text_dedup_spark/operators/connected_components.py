@@ -51,10 +51,12 @@ def connected_components(
         from text_dedup_spark.kernels.union_find import UnionFind
 
         uf = UnionFind()
-        # one collect job (<= threshold * 16B on the driver, bounded)
-        for u, v in base.collect():
-            uf.union(u, v)
+        # Arrow-path collect (<= threshold * 16B on the driver, bounded);
+        # ~10x faster than row collect() for millions of edges
+        pdf_edges = base.toPandas()
         base.unpersist()
+        for u, v in zip(pdf_edges["u"].to_numpy(), pdf_edges["v"].to_numpy(), strict=True):
+            uf.union(int(u), int(v))
         clusters = uf.get_clusters()
         if not clusters:
             return spark.createDataFrame([], "id long, cluster long")
