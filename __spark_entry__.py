@@ -146,6 +146,60 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the events stream table: a session breaks after a
+    30-minute inactivity gap per user (lag window). Windowed/stateful
+    analytics health check, DuckDB-oracled."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_epoch", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    gap = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
+    with_breaks = ev.select(
+        "user_id",
+        "event_id",
+        "ts_epoch",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_break"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = with_breaks.withColumn(
+        "session_seq", F.sum("is_break").over(w2).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        (F.max("ts_epoch") - F.min("ts_epoch")).alias("duration_sec"),
+    )
+
+
+def q_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts per event type (streaming-style windowed agg
+    run in batch; DuckDB-oracled via date_trunc)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("window_start_epoch"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clustering (quantized-integer exact
+    comparison + shared CC). Rows-only; parity vs UF oracle in pytest."""
+    from text_dedup_spark.functions.embedding_dedup import embedding_cosine_dedup
+
+    return embedding_cosine_dedup(_emb(spark, sf_dir), threshold=0.95)
+
+
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational agg health check (decimal-exact sums, TPC-H Q1 flavor)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -276,6 +330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "suffix_dedup": q_suffix_dedup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "events_sessionize": q_events_sessionize,
+        "events_minutely": q_events_minutely,
+        "embedding_dedup": q_embedding_dedup,
     }
 
 
@@ -353,6 +410,35 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY dot DESC, neighbor_id) AS INT) AS rank
               FROM pairs)
             SELECT vec_id, neighbor_id, dot, rank FROM ranked WHERE rank <= 3
+        """,
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+              FROM events),
+            g AS (
+              SELECT user_id, event_id, ts_epoch,
+                     CASE WHEN lag(ts_epoch) OVER w IS NULL
+                          OR ts_epoch - lag(ts_epoch) OVER w > 1800
+                          THEN 1 ELSE 0 END AS is_break
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch, event_id)),
+            s AS (
+              SELECT user_id, event_id, ts_epoch,
+                     sum(is_break) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event_id,
+                   max(ts_epoch) - min(ts_epoch) AS duration_sec
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "events_minutely": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch, event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -21,6 +21,8 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
+    # deterministic epoch math for NTZ timestamps (matches DuckDB's epoch())
+    "spark.sql.session.timeZone": "UTC",
 }
 
 
