@@ -134,34 +134,59 @@ class MinHashKernel:
     def embed_batch(self, contents: list[str]) -> list[list[bytes]]:
         return self.embed_batch_shingles([self.shingles(c) for c in contents])
 
-    def _signature_from_shingles(self, shingle_set: set[bytes], masks: np.ndarray) -> np.ndarray:
-        if not shingle_set:
-            return masks
-        h = np.fromiter(
-            (self.base_hash(t) for t in shingle_set),
-            dtype=self.dtype,
-            count=len(shingle_set),
+    def _hash_shingle_batch(self, flat: list[bytes]) -> np.ndarray:
+        """Base-hash a whole Arrow batch of shingles at once. xxh3 with a
+        32-bit base (the hash_bits 64/32 configs) rides the vectorized
+        numpy XXH3 (byte-identical to the scalar spec impl, ~6x faster);
+        other configs fall back to the scalar kernels."""
+        bits = min(self.hash_bits, 32)
+        if self.hash_func_name == "xxh3" and bits == 32:
+            from text_dedup_spark.kernels.xxh3_vec import xxh3_64_batch
+
+            return (xxh3_64_batch(flat, self.seed) & np.uint64(0xFFFFFFFF)).astype(
+                self.dtype
+            )
+        return np.fromiter(
+            (self.base_hash(t) for t in flat), dtype=self.dtype, count=len(flat)
         )
+
+    def _signature_from_hashes(self, h: np.ndarray, masks: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return masks
         # (h*a + b) % P & max — identical uint wraparound semantics to the
         # reference. Per-doc tile (~|shingles| x num_perm, a few hundred KB)
         # stays cache-resident: measured 2.8x faster than one batch-wide
         # matrix AND contention-free at 32-way worker concurrency (the big
         # matrix thrashes shared DRAM bandwidth).
-        hv = np.multiply.outer(h, self.a)
+        hv = np.multiply.outer(h.astype(self.dtype), self.a)
         hv += self.b
         hv %= self.modulo_prime
         hv &= self.dtype(self.max_hash)
         return np.minimum(hv.min(axis=0), masks)
+
+    def _signature_from_shingles(self, shingle_set: set[bytes], masks: np.ndarray) -> np.ndarray:
+        return self._signature_from_hashes(
+            self._hash_shingle_batch(list(shingle_set)), masks
+        )
+
+    def _batch_signatures(self, shingle_sets: list[set[bytes]], masks: np.ndarray):
+        """Hash ALL shingles of the batch in one vectorized pass, then
+        per-doc cache-tiled permute+min."""
+        flat: list[bytes] = []
+        offsets = [0]
+        for s in shingle_sets:
+            flat.extend(s)
+            offsets.append(len(flat))
+        hashes = self._hash_shingle_batch(flat)
+        for i in range(len(shingle_sets)):
+            yield self._signature_from_hashes(hashes[offsets[i] : offsets[i + 1]], masks)
 
     def embed_batch_shingles(self, shingle_sets: list[set[bytes]]) -> list[list[bytes]]:
         """Same outputs as per-doc ``embed`` (bit-for-bit), amortized over an
         Arrow batch (the reference wastes this with batch_size=1,
         ``minhash.py:42``)."""
         masks = np.full(shape=self.num_perm, dtype=self.dtype, fill_value=self.max_hash)
-        return [
-            self.band_values(self._signature_from_shingles(s, masks))
-            for s in shingle_sets
-        ]
+        return [self.band_values(sig) for sig in self._batch_signatures(shingle_sets, masks)]
 
     @property
     def band_nbytes(self) -> int:
@@ -175,10 +200,8 @@ class MinHashKernel:
         masks = np.full(shape=self.num_perm, dtype=self.dtype, fill_value=self.max_hash)
         n_used = self.bands * self.rows
         return [
-            bytes(
-                self._signature_from_shingles(s, masks)[:n_used].byteswap().data
-            )
-            for s in shingle_sets
+            bytes(sig[:n_used].byteswap().data)
+            for sig in self._batch_signatures(shingle_sets, masks)
         ]
 
     def token_count(self, content: str) -> int:

@@ -173,6 +173,16 @@ class SimHashKernel:
         tokens = self.shingles(content)
         if not tokens:
             return 0
+        if self.f == 64:
+            # vectorized batch hash (byte-identical to scalar xxh3) + vote
+            from text_dedup_spark.kernels.xxh3_vec import xxh3_64_batch
+
+            hashes = xxh3_64_batch(list(tokens), self.seed)
+            bits = np.unpackbits(
+                np.frombuffer(hashes.astype(">u8").tobytes(), dtype=np.uint8)
+            ).reshape(len(tokens), 64).astype(np.int64)
+            sig_bits = (np.sum(2 * bits - 1, axis=0) > 0).astype(np.uint8)
+            return int.from_bytes(np.packbits(sig_bits).tobytes(), "big")
         return compute([unsigned_hash(t, self.seed, self.f) for t in tokens], self.f)
 
     def embed(self, content: str) -> tuple[bytes, list[tuple[bytes, bytes]]]:

@@ -1,0 +1,224 @@
+"""Vectorized XXH3-64 over numpy for batches of short byte strings.
+
+Byte-identical to the scalar spec implementation in :mod:`xxh3` (tested
+exhaustively against it), restricted to inputs <= 240 bytes — shingles are
+short, so this covers the dedup hot path; longer inputs fall back to the
+scalar path. Strings are packed into one contiguous buffer; each XXH3 length
+class (0, 1-3, 4-8, 9-16, 17-128 by 16-byte chunk count, 129-240) is
+processed as one numpy batch with gathered unaligned little-endian reads.
+
+All arithmetic uses uint64 wraparound (numpy semantics == C semantics).
+~30-100x faster than per-string pure Python hashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from text_dedup_spark.kernels.xxh3 import (
+    _KSECRET,
+    PRIME64_1,
+    PRIME_MX1,
+    PRIME_MX2,
+    _read32,
+    _read64,
+    _xxh3_64_py,
+)
+
+_U64 = np.uint64
+_M32 = np.uint64(0xFFFFFFFF)
+
+_SECRET_U8 = np.frombuffer(_KSECRET, dtype=np.uint8)
+
+
+def _gather64(buf: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Unaligned little-endian uint64 reads at arbitrary byte offsets."""
+    out = buf[offsets].astype(np.uint64)
+    for k in range(1, 8):
+        out |= buf[offsets + k].astype(np.uint64) << np.uint64(8 * k)
+    return out
+
+
+def _gather32(buf: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    out = buf[offsets].astype(np.uint64)
+    for k in range(1, 4):
+        out |= buf[offsets + k].astype(np.uint64) << np.uint64(8 * k)
+    return out
+
+
+def _mul128_fold64_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a_lo = a & _M32
+    a_hi = a >> np.uint64(32)
+    b_lo = b & _M32
+    b_hi = b >> np.uint64(32)
+    lo_prod = a_lo * b_lo
+    mid1 = a_lo * b_hi
+    mid2 = a_hi * b_lo
+    hi_prod = a_hi * b_hi
+    t = (lo_prod >> np.uint64(32)) + (mid1 & _M32) + (mid2 & _M32)
+    low64 = (lo_prod & _M32) | ((t & _M32) << np.uint64(32))
+    high64 = hi_prod + (mid1 >> np.uint64(32)) + (mid2 >> np.uint64(32)) + (
+        t >> np.uint64(32)
+    )
+    return low64 ^ high64
+
+
+def _avalanche_vec(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(37))
+    h = h * np.uint64(PRIME_MX1)
+    return h ^ (h >> np.uint64(32))
+
+
+def _xxh64_avalanche_vec(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xC2B2AE3D27D4EB4F)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(0x165667B19E3779F9)
+    return h ^ (h >> np.uint64(32))
+
+
+def _rrmxmx_vec(h: np.ndarray, length: np.ndarray) -> np.ndarray:
+    rot49 = (h << np.uint64(49)) | (h >> np.uint64(15))
+    rot24 = (h << np.uint64(24)) | (h >> np.uint64(40))
+    h = h ^ (rot49 ^ rot24)
+    h = h * np.uint64(PRIME_MX2)
+    h = h ^ ((h >> np.uint64(35)) + length.astype(np.uint64))
+    h = h * np.uint64(PRIME_MX2)
+    return h ^ (h >> np.uint64(28))
+
+
+def _mix16b_vec(
+    buf: np.ndarray, doff: np.ndarray, soff1: int, seed: np.uint64
+) -> np.ndarray:
+    input_lo = _gather64(buf, doff)
+    input_hi = _gather64(buf, doff + 8)
+    s1 = np.uint64(_read64(_KSECRET, soff1)) + seed
+    s2 = np.uint64(_read64(_KSECRET, soff1 + 8)) - seed
+    return _mul128_fold64_vec(input_lo ^ s1, input_hi ^ s2)
+
+
+def xxh3_64_batch(strings: list[bytes], seed: int = 0) -> np.ndarray:
+    """Vectorized xxh3_64_intdigest per string; falls back to scalar for
+    strings > 240 bytes. Returns uint64 array aligned with input order."""
+    n = len(strings)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    buf = np.frombuffer(b"".join(strings) + b"\x00" * 16, dtype=np.uint8)
+    starts = offsets[:-1]
+    sd = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+
+    # --- len 0
+    sel = np.nonzero(lens == 0)[0]
+    if len(sel):
+        v = np.uint64(seed) ^ np.uint64(_read64(_KSECRET, 56)) ^ np.uint64(
+            _read64(_KSECRET, 64)
+        )
+        out[sel] = _xxh64_avalanche_vec(np.full(len(sel), v, dtype=np.uint64))
+
+    # --- len 1-3
+    sel = np.nonzero((lens >= 1) & (lens <= 3))[0]
+    if len(sel):
+        ln = lens[sel]
+        st = starts[sel]
+        c1 = buf[st].astype(np.uint64)
+        c2 = buf[st + (ln >> 1)].astype(np.uint64)
+        c3 = buf[st + ln - 1].astype(np.uint64)
+        combined = (c1 << np.uint64(16)) | (c2 << np.uint64(24)) | c3 | (
+            ln.astype(np.uint64) << np.uint64(8)
+        )
+        bitflip = np.uint64((_read32(_KSECRET, 0) ^ _read32(_KSECRET, 4))) + sd
+        out[sel] = _xxh64_avalanche_vec(combined ^ bitflip)
+
+    # --- len 4-8
+    sel = np.nonzero((lens >= 4) & (lens <= 8))[0]
+    if len(sel):
+        ln = lens[sel]
+        st = starts[sel]
+        seed2 = sd ^ (
+            np.uint64(
+                int.from_bytes(
+                    (seed & 0xFFFFFFFF).to_bytes(4, "little")[::-1], "little"
+                )
+            )
+            << np.uint64(32)
+        )
+        input1 = _gather32(buf, st)
+        input2 = _gather32(buf, st + ln - 4)
+        bitflip = (
+            np.uint64(_read64(_KSECRET, 8)) ^ np.uint64(_read64(_KSECRET, 16))
+        ) - seed2
+        input64 = input2 + (input1 << np.uint64(32))
+        out[sel] = _rrmxmx_vec(input64 ^ bitflip, ln)
+
+    # --- len 9-16
+    sel = np.nonzero((lens >= 9) & (lens <= 16))[0]
+    if len(sel):
+        ln = lens[sel]
+        st = starts[sel]
+        bitflip1 = (
+            np.uint64(_read64(_KSECRET, 24)) ^ np.uint64(_read64(_KSECRET, 32))
+        ) + sd
+        bitflip2 = (
+            np.uint64(_read64(_KSECRET, 40)) ^ np.uint64(_read64(_KSECRET, 48))
+        ) - sd
+        input_lo = _gather64(buf, st) ^ bitflip1
+        input_hi = _gather64(buf, st + ln - 8) ^ bitflip2
+        swapped = input_lo.byteswap()
+        acc = ln.astype(np.uint64) + swapped + input_hi + _mul128_fold64_vec(
+            input_lo, input_hi
+        )
+        out[sel] = _avalanche_vec(acc)
+
+    # --- len 17-128 (class by which mix16b pairs apply)
+    sel = np.nonzero((lens >= 17) & (lens <= 128))[0]
+    if len(sel):
+        ln = lens[sel]
+        st = starts[sel]
+        acc = ln.astype(np.uint64) * np.uint64(PRIME64_1)
+        m32 = ln > 32
+        m64 = ln > 64
+        m96 = ln > 96
+        if m96.any():
+            idx = np.nonzero(m96)[0]
+            acc[idx] += _mix16b_vec(buf, st[idx] + 48, 96, sd)
+            acc[idx] += _mix16b_vec(buf, st[idx] + ln[idx] - 64, 112, sd)
+        if m64.any():
+            idx = np.nonzero(m64)[0]
+            acc[idx] += _mix16b_vec(buf, st[idx] + 32, 64, sd)
+            acc[idx] += _mix16b_vec(buf, st[idx] + ln[idx] - 48, 80, sd)
+        if m32.any():
+            idx = np.nonzero(m32)[0]
+            acc[idx] += _mix16b_vec(buf, st[idx] + 16, 32, sd)
+            acc[idx] += _mix16b_vec(buf, st[idx] + ln[idx] - 32, 48, sd)
+        acc += _mix16b_vec(buf, st, 0, sd)
+        acc += _mix16b_vec(buf, st + ln - 16, 16, sd)
+        out[sel] = _avalanche_vec(acc)
+
+    # --- len 129-240
+    sel = np.nonzero((lens >= 129) & (lens <= 240))[0]
+    if len(sel):
+        ln = lens[sel]
+        st = starts[sel]
+        acc = ln.astype(np.uint64) * np.uint64(PRIME64_1)
+        for i in range(8):
+            acc += _mix16b_vec(buf, st + 16 * i, 16 * i, sd)
+        acc = _avalanche_vec(acc)
+        nb_rounds = ln // 16
+        for i in range(8, 15):
+            idx = np.nonzero(nb_rounds > i)[0]
+            if len(idx) == 0:
+                break
+            acc[idx] += _mix16b_vec(buf, st[idx] + 16 * i, 16 * (i - 8) + 3, sd)
+        acc += _mix16b_vec(buf, st + ln - 16, 136 - 17, sd)
+        out[sel] = _avalanche_vec(acc)
+
+    # --- > 240: scalar fallback (rare for shingles)
+    sel = np.nonzero(lens > 240)[0]
+    for i in sel:
+        out[i] = _xxh3_64_py(strings[int(i)], seed)
+
+    return out
