@@ -97,9 +97,27 @@ def _mix16b_vec(
     return _mul128_fold64_vec(input_lo ^ s1, input_hi ^ s2)
 
 
+_CHUNK = 4096
+
+
 def xxh3_64_batch(strings: list[bytes], seed: int = 0) -> np.ndarray:
     """Vectorized xxh3_64_intdigest per string; falls back to scalar for
-    strings > 240 bytes. Returns uint64 array aligned with input order."""
+    strings > 240 bytes. Returns uint64 array aligned with input order.
+
+    Processes in ~4k-string tiles so gather temporaries stay cache-resident
+    (batch-wide gathers thrash shared DRAM bandwidth at 32-way worker
+    concurrency — same lesson as the minhash permute tiling)."""
+    if len(strings) > _CHUNK:
+        return np.concatenate(
+            [
+                _xxh3_64_batch_tile(strings[i : i + _CHUNK], seed)
+                for i in range(0, len(strings), _CHUNK)
+            ]
+        )
+    return _xxh3_64_batch_tile(strings, seed)
+
+
+def _xxh3_64_batch_tile(strings: list[bytes], seed: int = 0) -> np.ndarray:
     n = len(strings)
     out = np.zeros(n, dtype=np.uint64)
     if n == 0:
