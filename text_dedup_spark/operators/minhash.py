@@ -148,13 +148,33 @@ def assign_clusters(docs: DataFrame, mapping: DataFrame) -> DataFrame:
 
 
 def check_false_positives(
-    docs: DataFrame, kernel: MinHashKernel, text_col: str = "text"
+    docs: DataFrame,
+    kernel: MinHashKernel,
+    text_col: str = "text",
+    max_cluster_verify: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Intra-cluster pairwise Jaccard re-check, re-assign min-idx within the
     *old* cluster (exact semantics of reference ``minhash.py:101-170`` —
     nodes failing verification revert to their own id; the __duplicate__
-    flag is intentionally NOT updated, as in the reference)."""
+    flag is intentionally NOT updated, as in the reference).
+
+    ``max_cluster_verify`` (scale guard, default None = reference-faithful):
+    clusters larger than the cap skip pairwise verification and keep their
+    assignment (giant clusters are overwhelmingly exact duplicates; O(m^2)
+    pairs over a 10M-member boilerplate cluster would be 5e13 rows). Bypassed
+    membership is observable via the ``fp_bypassed`` metric — never a silent
+    drop."""
     cand = docs.where(F.col(DUPLICATE_COL)).select(INDEX_COL, text_col, CLUSTER_COL)
+    bypassed = None
+    if max_cluster_verify is not None:
+        sizes = cand.groupBy(CLUSTER_COL).agg(F.count(F.lit(1)).alias("__csz__"))
+        cand_all = cand.join(sizes, CLUSTER_COL)
+        bypassed = (
+            cand_all.where(F.col("__csz__") > max_cluster_verify)
+            .select(F.col(INDEX_COL).alias("idx"), F.col(CLUSTER_COL))
+            .observe("fp_bypassed", F.count(F.lit(1)).alias("n_bypassed"))
+        )
+        cand = cand_all.where(F.col("__csz__") <= max_cluster_verify).drop("__csz__")
     left = cand.select(
         F.col(CLUSTER_COL),
         F.col(INDEX_COL).alias("id1"),
@@ -173,6 +193,8 @@ def check_false_positives(
         .union(verified.select(F.col("id2").alias("idx"), F.col(CLUSTER_COL)))
         .distinct()
     )
+    if bypassed is not None:
+        members = members.unionByName(bypassed).distinct()
     new_map = (
         members.join(
             members.groupBy(CLUSTER_COL).agg(F.min("idx").alias("__newc__")), CLUSTER_COL
@@ -197,6 +219,7 @@ def minhash_dedup(
     skip_filtering: bool = False,
     repartition_input: int | None = None,
     cc_driver_threshold: int = 5_000_000,
+    max_cluster_verify: int | None = None,
 ) -> MinHashDedupResult:
     """End-to-end MinHash dedup. ``df`` must already carry a unique long id
     in ``id_col`` (see ``operators.ids.assign_ids``).
@@ -222,7 +245,9 @@ def minhash_dedup(
 
     assigned = assign_clusters(filtered.drop("__BANDS__"), mapping)
     if check_false_positive:
-        assigned, mapping = check_false_positives(assigned, kernel, text_col)
+        assigned, mapping = check_false_positives(
+            assigned, kernel, text_col, max_cluster_verify=max_cluster_verify
+        )
 
     kept = (
         assigned
