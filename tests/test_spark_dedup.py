@@ -186,18 +186,21 @@ class TestFPVerifyCap:
         unc = {r[INDEX_COL]: r[CLUSTER_COL] for r in uncapped.docs.collect()}
         cap = {r[INDEX_COL]: r[CLUSTER_COL] for r in capped.docs.collect()}
         assert set(unc) == set(cap)
-        # bypass keeps (or merges) clusters: every doc verified in the
-        # uncapped run as a duplicate member must remain clustered when its
-        # cluster was bypassed; exact-dup clusters (all-pairs jaccard 1.0)
-        # must agree between runs
         from collections import Counter
 
-        unc_sizes = Counter(unc.values())
+        # original (pre-verification) cluster sizes decide the bypass
+        base = minhash_dedup(pages_df, kernel, check_false_positive=False)
+        orig = {r[INDEX_COL]: r[CLUSTER_COL] for r in base.docs.collect()}
+        orig_sizes = Counter(orig.values())
+        # 1. the cap never loses verified members: every doc the uncapped run
+        #    kept clustered stays clustered (bypassed clusters keep ALL
+        #    members, and min(bypassed) <= min(verified))
         for idx, c in unc.items():
-            if unc_sizes[c] > 2 and c != idx:
-                # big verified cluster -> bypassed in capped run, stays grouped
-                assert cap[idx] != idx or cap[idx] == idx and False is False
-        # capped run never loses a small verified pair
-        for idx, c in unc.items():
-            if unc_sizes[c] == 2:
-                assert cap[idx] == c
+            if c != idx:
+                assert cap[idx] != idx, f"doc {idx} lost its cluster under cap"
+        # 2. original clusters at/below the cap verify identically
+        for idx in unc:
+            if orig_sizes[orig[idx]] <= 2:
+                assert cap[idx] == unc[idx], f"small-cluster doc {idx} diverged"
+        # 3. at least one original cluster exceeded the cap (test is live)
+        assert any(s > 2 for s in orig_sizes.values())
