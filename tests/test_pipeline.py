@@ -119,3 +119,25 @@ class TestSplitSlicing:
         assert _apply_split(df, "train").count() == 100
         assert _apply_split(df, "train[:10]").count() == 10
         assert _apply_split(df, "train[:2%]").count() == 2
+
+
+class TestCsvJsonInput:
+    @pytest.mark.parametrize("fmt", ["csv", "json"])
+    def test_reads_and_dedups(self, spark, tmp_path, fmt):
+        corpus = make_web_pages(n_docs=80, seed=5)
+        pdf = corpus.pages[["url", "text", "lang"]]
+        src = tmp_path / f"src_{fmt}"
+        df = spark.createDataFrame(pdf)
+        getattr(df.write.option("header", "true").mode("overwrite"), fmt)(str(src))
+        cfgp = write_config(
+            tmp_path,
+            str(src),
+            'algorithm_name = "bloom_filter"',
+            str(tmp_path / f"out_{fmt}"),
+        )
+        # patch file_type
+        text = open(cfgp).read().replace('file_type = "parquet"', f'file_type = "{fmt}"')
+        open(cfgp, "w").write(text)
+        summary = run_pipeline(load_config(cfgp), spark=spark)
+        n_distinct = len(set(pdf["text"]))
+        assert summary["rows_after"] == n_distinct
