@@ -27,6 +27,10 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "minhash_dedup_verified",
     "simhash_dedup",
+    "suffix_dedup",
+    "embedding_dedup",
+    "events_sessionize",
+    "events_minutely",
     "lineitem_pricing_summary",
 ]
 

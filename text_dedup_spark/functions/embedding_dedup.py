@@ -28,33 +28,78 @@ def cosine_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold edges over quantized vectors.
+    """All-pairs cosine >= threshold edges over quantized vectors, exact.
 
-    cos >= t  <=>  dot >= 0 and dot^2 >= t^2 * n_a * n_b (integer dot and
-    squared norms; the comparison is done in decimal(38,0) to stay exact —
-    dot^2 <= (64 * 3000^2)^2 ~ 3.3e17 fits, t^2 scaled by 10^6)."""
-    q = emb.select(F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q"))
-    q = q.select(
-        "vid", "q", int_dot(F.col("q"), F.col("q")).alias("n2")
+    cos >= t  <=>  dot >= 0 and dot^2 >= t^2 * |a|^2 * |b|^2 over integer
+    dots/norms — engine- and platform-exact (no float reduction order).
+
+    Physical strategy: block nested-loop GEMM. Vectors hash into
+    ``n_blocks`` groups; each of the B*(B+1)/2 block pairs is one
+    ``applyInPandas`` task computing a float64 BLAS matmul as a prefilter
+    (with a conservative margin) and confirming survivors in exact int64 —
+    ~100x faster than per-pair expression dots, and each task's memory is
+    (|block| x dim), so B sizes the memory/parallelism tradeoff at scale."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    q = emb.select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q")
     )
-    a = q.select(F.col("vid").alias("a_id"), F.col("q").alias("qa"), F.col("n2").alias("na"))
-    b = q.select(F.col("vid").alias("b_id"), F.col("q").alias("qb"), F.col("n2").alias("nb"))
-    pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
-    dot = int_dot(F.col("qa"), F.col("qb"))
+    block = F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int")
+    q = q.withColumn("block", block)
+
+    combos = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    combos_df = spark.createDataFrame(combos, "ba int, bb int")
+    left = q.join(combos_df, q.block == combos_df.ba).select(
+        "ba", "bb", "vid", "q", F.lit("L").alias("role")
+    )
+    right = q.join(combos_df, q.block == combos_df.bb).select(
+        "ba", "bb", "vid", "q", F.lit("R").alias("role")
+    )
+    tagged = left.unionByName(right)
     t2_millionths = int(round(threshold * threshold * 1_000_000))
-    lhs = (dot.cast("decimal(38,0)") * dot.cast("decimal(38,0)")) * F.lit(1_000_000).cast(
-        "decimal(38,0)"
-    )
-    rhs = (
-        F.col("na").cast("decimal(38,0)")
-        * F.col("nb").cast("decimal(38,0)")
-        * F.lit(t2_millionths).cast("decimal(38,0)")
-    )
-    return (
-        pairs.where((dot >= 0) & (lhs >= rhs))
-        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    )
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        diagonal = pdf["ba"].iloc[0] == pdf["bb"].iloc[0]
+        lmask = pdf["role"] == "L"
+        lrows = pdf[lmask]
+        rrows = pdf[~lmask] if not diagonal else lrows
+        if len(lrows) == 0 or len(rrows) == 0:
+            return pd.DataFrame({"src": [], "dst": []}).astype("int64")
+        la = np.array(lrows["q"].tolist(), dtype=np.int64)
+        rb = np.array(rrows["q"].tolist(), dtype=np.int64)
+        lids = lrows["vid"].to_numpy()
+        rids = rrows["vid"].to_numpy()
+        # float64 BLAS prefilter with margin (exact confirm below)
+        laf, rbf = la.astype(np.float64), rb.astype(np.float64)
+        dots_f = laf @ rbf.T
+        na = np.einsum("ij,ij->i", laf, laf)
+        nb = np.einsum("ij,ij->i", rbf, rbf)
+        thresh = np.sqrt(np.outer(na, nb)) * (threshold - 1e-9)
+        cand = np.nonzero((dots_f >= thresh) & (dots_f >= 0))
+        srcs, dsts = [], []
+        for i, j in zip(*cand, strict=True):
+            a_id, b_id = int(lids[i]), int(rids[j])
+            if a_id == b_id:
+                continue
+            if a_id > b_id:
+                if diagonal:
+                    continue  # the (j, i) candidate covers this pair
+                a_id, b_id = b_id, a_id  # off-diagonal: normalize, don't drop
+            dot = int(la[i] @ rb[j])
+            if dot < 0:
+                continue
+            n_a = int(la[i] @ la[i])
+            n_b = int(rb[j] @ rb[j])
+            if dot * dot * 1_000_000 >= n_a * n_b * t2_millionths:
+                srcs.append(a_id)
+                dsts.append(b_id)
+        return pd.DataFrame({"src": srcs, "dst": dsts}, dtype="int64")
+
+    return tagged.groupBy("ba", "bb").applyInPandas(block_pair, "src long, dst long")
 
 
 def embedding_cosine_dedup(
