@@ -108,33 +108,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup candidate pairs (F2/F13 as declarative plan).
 
-    Inverted-index formulation: explode grams -> equi-join on gram ->
-    groupBy(pair).count() IS the intersection size — no O(n^2) cross join.
-    Semantically identical to all-pairs-with-filter (a pair passing
-    2*inter >= union with union > 0 must share >= 1 gram). Integer
-    arithmetic only, so engine-exact vs the DuckDB oracle."""
-    from text_dedup_spark.functions.text_stats import word_ngrams
+    Prefix-filtered set-similarity join (PPJoin-style, lossless): only the
+    rarest-first prefixes are indexed, candidates are size-ratio-pruned,
+    then verified with exact integer intersection sizes — identical output
+    to a naive all-pairs join, DuckDB-oracle-verified."""
+    from text_dedup_spark.functions.setsim import jaccard_pairs_prefix
+    from text_dedup_spark.functions.text_stats import word_ngrams_from_tokens
 
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id"), word_ngrams(F.col("text"), 3).alias("grams")
+    d = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id"), F.split(F.col("text"), " ").alias("toks"))
+        .select(F.col("doc_id"), word_ngrams_from_tokens(F.col("toks"), 3).alias("grams"))
     )
-    sizes = d.select("doc_id", F.size("grams").cast("bigint").alias("sz"))
-    postings = d.select("doc_id", F.explode("grams").alias("gram"))
-    a = postings.select(F.col("gram"), F.col("doc_id").alias("a_id"))
-    b = postings.select(F.col("gram"), F.col("doc_id").alias("b_id"))
-    inter = (
-        a.join(b, "gram")
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter_size"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sza"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "szb"), "b_id")
-        .withColumn("union_size", F.col("sza") + F.col("szb") - F.col("inter_size"))
-        .where(F.col("inter_size") * 2 >= F.col("union_size"))
-        .select("a_id", "b_id", "inter_size", "union_size")
-    )
+    return jaccard_pairs_prefix(d, threshold=0.5, id_col="doc_id", grams_col="grams")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

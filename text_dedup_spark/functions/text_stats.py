@@ -34,8 +34,16 @@ def max_token_len(text: Column) -> Column:
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Distinct space-joined word n-grams as an array<string>; empty array if
-    fewer than n tokens. DuckDB equivalent built in oracle SQL."""
-    toks = ws_tokens(text)
+    fewer than n tokens. DuckDB equivalent built in oracle SQL.
+
+    NOTE: evaluates ``split(text)`` inside the lambda — when the input is a
+    raw text column this can re-split per gram element. Prefer
+    ``word_ngrams_from_tokens`` over a materialized tokens column in hot
+    paths."""
+    return word_ngrams_from_tokens(ws_tokens(text), n)
+
+
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + F.lit(k)).cast("int")) for k in range(n)]),
