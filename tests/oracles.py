@@ -86,6 +86,11 @@ def simhash_oracle(
         for a_i in range(len(members)):
             for b_i in range(a_i + 1, len(members)):
                 (ia, sa), (ib, sb) = members[a_i], members[b_i]
+                if ia == ib:
+                    # same doc can land twice in one bucket when two
+                    # permutation tables emit identical (mask, val) keys;
+                    # the reference skips self-comparisons (simhash.py:62-63)
+                    continue
                 if hamming_distance(sa, sb) <= kernel.bit_diff:
                     uf.union(ia, ib)
     parents = uf.get_clusters()

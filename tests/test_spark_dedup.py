@@ -204,3 +204,42 @@ class TestFPVerifyCap:
                 assert cap[idx] == unc[idx], f"small-cluster doc {idx} diverged"
         # 3. at least one original cluster exceeded the cap (test is live)
         assert any(s > 2 for s in orig_sizes.values())
+
+
+class TestReferenceBenchmarkConfigs:
+    """Parity at the reference's pinned benchmark configs (BASELINE.md):
+    CORE minhash (num_perm=200, ngram=2, bands=50, rows=4, threshold=0.5,
+    xxh3, min_length=0) and NEWS simhash (f=64, bit_diff=12, num_bucket=13,
+    ngram=1, min_length=0). min_length=0 exercises the short-doc edge where
+    ngrams() emits a single whole-sequence tuple."""
+
+    def test_core_minhash_config(self, spark, corpus, pages_df):
+        kernel = MinHashKernel(
+            num_perm=200, ngram_size=2, bands=50, rows=4, threshold=0.5,
+            min_length=0, hash_func_name="xxh3", seed=42,
+        )
+        texts = list(corpus.pages["text"])
+        expected_parents, expected_kept = minhash_oracle(texts, kernel)
+        res = minhash_dedup(pages_df, kernel)
+        got_kept = sorted(r[INDEX_COL] for r in res.kept.select(INDEX_COL).collect())
+        assert got_kept == expected_kept
+
+    def test_news_simhash_config(self, spark, corpus, pages_df):
+        kernel = SimHashKernel(
+            f=64, bit_diff=12, num_bucket=13, ngram_size=1, min_length=0, seed=42
+        )
+        texts = list(corpus.pages["text"])
+        expected_parents, expected_kept = simhash_oracle(
+            texts, kernel, check_false_positive=True, jaccard_threshold=0.45
+        )
+        res = simhash_dedup(
+            pages_df, kernel, check_false_positive=True, jaccard_threshold=0.45
+        )
+        got_kept = sorted(r[INDEX_COL] for r in res.kept.select(INDEX_COL).collect())
+        assert got_kept == expected_kept
+        got = {
+            r[INDEX_COL]: r[CLUSTER_COL]
+            for r in res.docs.select(INDEX_COL, CLUSTER_COL).collect()
+        }
+        for idx, c in got.items():
+            assert expected_parents.get(idx, idx) == c
