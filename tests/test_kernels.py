@@ -348,3 +348,25 @@ class TestUnionFind:
         uf.union(5, 6)
         uf.union(6, 5)
         assert uf.find(5) == uf.find(6)
+
+
+class TestXXH3Vectorized:
+    def test_matches_scalar_all_lengths(self):
+        """xxh3_64_batch must be byte-identical to the scalar spec impl for
+        every length class and across the chunking boundary."""
+        import numpy as np
+
+        from text_dedup_spark.kernels.xxh3_vec import xxh3_64_batch
+
+        rng = np.random.RandomState(123)
+        strings = []
+        for length in list(range(0, 242)) + [300, 999]:
+            strings.append(
+                bytes(rng.randint(0, 256, size=length, dtype=np.int64).astype(np.uint8).tolist())
+            )
+        # pad beyond one chunk to exercise tiling
+        strings = strings * 20  # ~4880 strings > _CHUNK
+        for seed in (0, 42):
+            got = xxh3_64_batch(strings, seed)
+            exp = np.array([_xxh3_64_py(s, seed) for s in strings], dtype=np.uint64)
+            assert np.array_equal(got, exp), f"seed={seed}"
