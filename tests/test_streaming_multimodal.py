@@ -107,3 +107,25 @@ class TestStreamingDedup:
         assert results[2] == 0  # near-dup in later batch joins existing cluster
         assert results[4] == 0  # exact dup joins too
         assert results[1] == 1 and results[3] == 3  # uniques root themselves
+
+
+class TestMultimodalToSimilarity:
+    def test_media_features_feed_ann_and_dedup(self, spark):
+        """Composed pipeline: media binary -> histogram features ->
+        embedding-cosine dedup. Duplicated payloads (same seed) must cluster;
+        plumbing uses only public operator surfaces."""
+        from text_dedup_spark.functions.embedding_dedup import embedding_cosine_dedup
+        from pyspark.sql import functions as F
+
+        rows = []
+        for i in range(24):
+            seed = i % 8  # 3 copies of each of 8 distinct payloads
+            rows.append((i, make_synth_media(kind=0, w=16, h=16, n_frames=1, seed=seed)))
+        media = spark.createDataFrame(rows, "id long, media binary")
+        feats = extract_features(media).withColumnRenamed("id", "vec_id").withColumn(
+            "embedding", F.col("features").cast("array<float>")
+        )
+        res = embedding_cosine_dedup(feats, threshold=0.999)
+        got = {r["vec_id"]: r["cluster_id"] for r in res.collect()}
+        for i in range(24):
+            assert got[i] == i % 8  # identical payloads -> min-id cluster
