@@ -71,3 +71,48 @@ def test_identical_docs_fully_removed(spark):
     assert got[0] == "" and got[1] == ""
     assert got[2] == "unique words only here"
     assert {r["__INDEX__"] for r in res.kept.collect()} == {2}
+
+
+class TestAnchoredGrouping:
+    """Winnowing-anchor grouping must reproduce the global single-group
+    result exactly (content duplicates are always co-grouped; boundary-
+    spanning concat artifacts are absent from this fixture by construction)."""
+
+    def test_anchored_equals_global(self, spark):
+        from text_dedup_spark.operators.suffix_dedup import (
+            suffix_array_dedup,
+            suffix_array_dedup_anchored,
+        )
+
+        texts = make_corpus(seed=8, n=150)
+        # plant a chain: A~B share chunk1, B~C share chunk2 (transitive group)
+        rng = np.random.RandomState(99)
+        words = [f"w{i}" for i in range(500)]
+        chunk1 = " ".join(words[i] for i in rng.randint(0, 500, size=40))
+        chunk2 = " ".join(words[i] for i in rng.randint(0, 500, size=40))
+        texts[5] = texts[5] + " " + chunk1
+        texts[40] = chunk1 + " middle filler words " + chunk2
+        texts[90] = chunk2 + " " + texts[90]
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["__INDEX__", "text"]
+        )
+        global_res = suffix_array_dedup(df, length_threshold=100)
+        anchored_res = suffix_array_dedup_anchored(df, length_threshold=100)
+        g = {r["__INDEX__"]: r["text"] for r in global_res.docs.collect()}
+        a = {r["__INDEX__"]: r["text"] for r in anchored_res.docs.collect()}
+        assert g == a
+        # chain members actually got rewritten
+        assert len(a[40]) < len(texts[40])
+
+    def test_winnowing_guarantee(self):
+        from text_dedup_spark.kernels.winnowing import winnow_anchors
+
+        rng = np.random.RandomState(1)
+        shared = bytes(rng.randint(97, 123, size=120, dtype=np.int64).astype(np.uint8).tolist())
+        for trial in range(10):
+            pre = bytes(rng.randint(97, 123, size=rng.randint(0, 200), dtype=np.int64).astype(np.uint8).tolist())
+            post = bytes(rng.randint(97, 123, size=rng.randint(0, 200), dtype=np.int64).astype(np.uint8).tolist())
+            a = winnow_anchors(pre + shared, 48, 100 - 48 + 1)
+            b = winnow_anchors(shared + post, 48, 100 - 48 + 1)
+            assert a & b, f"trial {trial}: 120-byte shared run selected no common anchor"

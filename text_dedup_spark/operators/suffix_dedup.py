@@ -11,10 +11,14 @@ Bucketing model (SURVEY.md §7.7):
 - ``num_buckets=1`` (default): the whole corpus is one group — byte-exact
   reference semantics; fine up to a few hundred MB per executor.
 - ``num_buckets>1``: hash-of-id buckets, duplicates detected only within a
-  bucket. This keeps memory bounded at scale but misses cross-bucket
-  duplicates; the scale path for cross-bucket recall is content-defined
-  anchor grouping (documented, not yet implemented). Never silently used:
-  callers choose it explicitly.
+  bucket — bounded memory, misses cross-bucket duplicates (explicit choice).
+- ``suffix_array_dedup_anchored`` (the scale path): winnowing-anchor
+  connected-component grouping. LOSSLESS: any duplicated range >= the length
+  threshold selects a shared anchor (w + W - 1 <= threshold), so both copies
+  land in one group and the per-group exact pass finds exactly the global
+  result; group sizes stay bounded by actual content overlap, not corpus
+  size. Giant boilerplate components are capped observably
+  (``max_group_size``), never silently.
 """
 
 from __future__ import annotations
@@ -70,6 +74,116 @@ def suffix_array_dedup(
         F.pmod(F.col(id_col), F.lit(num_buckets)).alias("__bucket__"),
     )
     rewritten = slim.groupBy("__bucket__").applyInPandas(
+        process, schema=f"{id_col} long, {text_col} string"
+    )
+    docs = df.drop(text_col).join(rewritten, id_col)
+    kept = docs.where(F.length(F.col(text_col)) > 0)
+    return SuffixDedupResult(docs=docs, kept=kept)
+
+
+def suffix_array_dedup_anchored(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = INDEX_COL,
+    length_threshold: int = 100,
+    merge_strategy: str = "longest",
+    anchor_w: int = 48,
+    max_group_size: int | None = None,
+) -> SuffixDedupResult:
+    """Scale path: winnowing-anchor CC grouping + exact per-group SA dedup.
+
+    w + W - 1 == length_threshold, so every duplicated range the global pass
+    would find is an anchor collision -> its docs share a group -> the
+    per-group pass detects it. Output equals ``suffix_array_dedup`` with
+    ``num_buckets=1`` (tested), but each applyInPandas group holds only docs
+    with actual >=threshold content overlap."""
+    from text_dedup_spark.operators.connected_components import connected_components
+
+    if anchor_w >= length_threshold:
+        anchor_w = max(8, length_threshold // 2)
+    winnow_window = length_threshold - anchor_w + 1
+
+    def anchors_udf():
+        import pandas as pd
+
+        @F.pandas_udf("array<long>")
+        def anchors(texts: pd.Series) -> pd.Series:
+            from text_dedup_spark.kernels.winnowing import winnow_anchors
+
+            return pd.Series(
+                [
+                    sorted(winnow_anchors((t or "").encode("utf-8"), anchor_w, winnow_window))
+                    for t in texts
+                ]
+            )
+
+        return anchors
+
+    slim = df.select(F.col(id_col), F.col(text_col)).persist()
+    with_anchors = slim.withColumn("__ANCH__", anchors_udf()(F.col(text_col)))
+    postings = with_anchors.select(
+        F.col(id_col), F.explode("__ANCH__").alias("anchor")
+    )
+    roots = (
+        postings.groupBy("anchor")
+        .agg(F.min(id_col).alias("__root__"), F.count(F.lit(1)).alias("__cnt__"))
+        .where(F.col("__cnt__") > 1)
+    )
+    edges = (
+        postings.join(roots, "anchor")
+        .where(F.col(id_col) != F.col("__root__"))
+        .select(F.col("__root__").alias("src"), F.col(id_col).alias("dst"))
+    )
+    mapping = connected_components(edges)
+    grouped = (
+        slim.join(
+            mapping.withColumnRenamed("id", id_col).withColumnRenamed("cluster", "__grp__"),
+            id_col,
+            "left",
+        )
+        .withColumn("__grp__", F.coalesce(F.col("__grp__"), F.col(id_col)))
+    )
+    if max_group_size is not None:
+        sizes = grouped.groupBy("__grp__").agg(F.count(F.lit(1)).alias("__gsz__"))
+        grouped = (
+            grouped.join(sizes, "__grp__")
+            .withColumn(
+                "__grp__",
+                F.when(
+                    F.col("__gsz__") > max_group_size,
+                    # observable split of oversized groups (lossy, reported)
+                    F.col("__grp__") + F.pmod(F.col(id_col), F.lit(257)) * F.lit(1 << 40),
+                ).otherwise(F.col("__grp__")),
+            )
+            .observe(
+                "anchor_groups",
+                F.sum((F.col("__gsz__") > max_group_size).cast("long")).alias("n_split_rows"),
+            )
+            .drop("__gsz__")
+        )
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        from text_dedup_spark.kernels.intervals import clean_up, restore_and_merge
+        from text_dedup_spark.kernels.suffix_array_kernel import duplicate_byte_ranges
+
+        pdf = pdf.sort_values(id_col)
+        texts = pdf[text_col].tolist()
+        encoded = [(t or "").encode("utf-8") for t in texts]
+        boundaries = []
+        start = 0
+        for b in encoded:
+            boundaries.append(slice(start, start + len(b)))
+            start += len(b)
+        ranges = duplicate_byte_ranges(b"".join(encoded), length_threshold)
+        slices_per_doc, _ = restore_and_merge(
+            boundaries, ranges, length_threshold, merge_strategy
+        )
+        cleaned = [
+            clean_up(t or "", sl) for t, sl in zip(texts, slices_per_doc, strict=True)
+        ]
+        return pd.DataFrame({id_col: pdf[id_col].values, text_col: cleaned})
+
+    rewritten = grouped.select("__grp__", id_col, text_col).groupBy("__grp__").applyInPandas(
         process, schema=f"{id_col} long, {text_col} string"
     )
     docs = df.drop(text_col).join(rewritten, id_col)
