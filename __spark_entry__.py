@@ -3,9 +3,17 @@
 ``queries()`` exposes the implemented operators from SURVEY.md §2 plus the
 training-data-pipeline extensions (dedup variants, similarity search, text
 analysis). ``oracle_sql()`` gives DuckDB-equivalent SQL where the operator is
-SQL-expressible; iterative/UDF-kernel operators (MinHash/SimHash clustering)
-are rows-only here and parity-tested against single-node reference-semantics
-oracles in tests/ instead (pytest -x -q).
+SQL-expressible — including the flagship embedding_dedup (recursive-CTE
+connected components) and suffix_dedup (duplicated-L-gram coverage).
+
+No-oracle waivers (rows-only driver check; exact parity lives in pytest):
+- minhash_dedup / minhash_dedup_verified / simhash_dedup: the signatures are
+  XXH3-based (reference hashfunc semantics); DuckDB has no XXH3, so no SQL
+  oracle can reproduce them. tests/test_spark_dedup.py pins exact cluster
+  parity vs single-node reference-semantics oracles instead.
+- ann_lsh_topk: approximate by design (random-hyperplane sketches from
+  numpy RandomState); tests/test_similarity.py pins recall@k >= 0.9 vs the
+  oracle-green brute_force_topk plus bucket-cap accounting.
 
 Column-type discipline for hash-stable oracle comparison: every emitted
 column is int/bigint/string — no raw floats (reduction-order hazards), no
@@ -163,12 +171,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window counts per event type (streaming-style windowed agg
-    run in batch; DuckDB-oracled via date_trunc)."""
+    """Tumbling one-minute-window counts per event type (streaming-style
+    windowed agg run in batch; DuckDB-oracled via date_trunc)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).cast("long").alias("window_start_epoch"),
+            F.date_trunc("minute", F.col("ts")).cast("long").alias("window_start_epoch"),
             F.col("event_type"),
         )
         .agg(
@@ -180,22 +188,28 @@ def q_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup clustering (quantized-integer exact
-    comparison + shared CC). Rows-only; parity vs UF oracle in pytest."""
+    comparison + shared CC). DuckDB-oracled: integer-cosine edges +
+    recursive-CTE min-label connected components. threshold=0.4 because the
+    synthetic embeddings' max pairwise cosine is ~0.51 — higher thresholds
+    yield zero edges and a vacuous check."""
     from text_dedup_spark.functions.embedding_dedup import embedding_cosine_dedup
 
-    return embedding_cosine_dedup(_emb(spark, sf_dir), threshold=0.95)
+    return embedding_cosine_dedup(_emb(spark, sf_dir), threshold=0.4)
 
 
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational agg health check (decimal-exact sums, TPC-H Q1 flavor)."""
+    """Relational agg health check (TPC-H Q1 flavor).
+
+    Sums are integer cents (round(x*100) per row, summed as BIGINT) — exact
+    on both engines, honoring the module's no-decimal/no-float discipline."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    qty = F.col("l_quantity").cast("decimal(18,4)")
-    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,4)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,4)").alias("sum_price"),
+            F.sum(qty_c).alias("sum_qty_cents"),
+            F.sum(price_c).alias("sum_price_cents"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -261,12 +275,16 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (reference suffix_array.py; S6, X1-X3, P6-P7).
 
+    Uses the winnowing-anchored scale path (lossless grouping: every
+    duplicated range >= threshold co-locates its docs, so per-group exact
+    suffix-array passes reproduce the global result — tested equal, and
+    DuckDB-oracled here via a duplicated-50-gram coverage construction).
     length_threshold=50 so the synthetic docs exercise removals; returns the
     per-doc byte shrinkage."""
-    from text_dedup_spark.operators.suffix_dedup import suffix_array_dedup
+    from text_dedup_spark.operators.suffix_dedup import suffix_array_dedup_anchored
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    res = suffix_array_dedup(
+    res = suffix_array_dedup_anchored(
         d, text_col="text", id_col="doc_id", length_threshold=50
     )
     orig = d.select("doc_id", F.length(F.encode("text", "utf-8")).alias("orig_bytes"))
@@ -421,16 +439,96 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_seq
         """,
         "events_minutely": """
-            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch, event_type,
+            SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS window_start_epoch, event_type,
                    count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        # Integer-cosine edges (same quantization + exact integer comparison
+        # as the Spark path; HUGEINT avoids int64 overflow of dot^2*1e6) +
+        # min-label connected components via a recursive CTE. 160000 =
+        # round(0.4^2 * 1e6).
+        "embedding_dedup": """
+            WITH RECURSIVE q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+              FROM embeddings),
+            n AS (
+              SELECT vec_id, v,
+                     CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+              FROM q),
+            pairs AS (
+              SELECT a.vec_id AS s, b.vec_id AS d,
+                     CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                          i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+                     a.n2 AS na, b.n2 AS nb
+              FROM n a, n b WHERE a.vec_id < b.vec_id),
+            sel AS (
+              SELECT s, d FROM pairs
+              WHERE dot >= 0
+                AND CAST(dot AS HUGEINT) * dot * 1000000 >= CAST(na AS HUGEINT) * nb * 160000),
+            edges AS (SELECT s, d FROM sel UNION ALL SELECT d AS s, s AS d FROM sel),
+            reach(id, lab) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id WHERE r.lab < e.d),
+            cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+            SELECT emb.vec_id,
+                   CAST(COALESCE(cc.cluster, emb.vec_id) AS BIGINT) AS cluster_id,
+                   CAST(cc.id IS NOT NULL AS INT) AS is_dup
+            FROM embeddings emb LEFT JOIN cc ON cc.id = emb.vec_id
+        """,
+        # Exact-substring dedup oracle. Identity used: the byte-coverage
+        # union of all duplicated substrings of length >= L equals the
+        # coverage union of all duplicated L-grams of the doc_id-order
+        # concatenated corpus (any longer duplicate is a union of duplicated
+        # L-windows). Restore semantics: per-doc pieces of maximal covered
+        # runs are kept only when >= L bytes (reference
+        # config/algorithms/suffix_array.py:190-241); disjoint runs make the
+        # 'longest' merge the identity. Docs are pure ASCII so DuckDB char
+        # positions == utf-8 byte positions.
+        "suffix_dedup": """
+            WITH corpus AS (
+              SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents),
+            docs AS (
+              SELECT doc_id, length(text) AS len,
+                     COALESCE(CAST(sum(length(text)) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+              FROM documents),
+            allpos AS (
+              SELECT CAST(d.off + u.i AS BIGINT) AS p
+              FROM docs d, unnest(generate_series(1, d.len)) u(i)),
+            pos AS (
+              SELECT p, substr(corpus.c, CAST(p AS INT), 50) AS g
+              FROM allpos, corpus
+              WHERE p <= length(corpus.c) - 50 + 1),
+            dup AS (
+              SELECT p FROM pos QUALIFY count(*) OVER (PARTITION BY g) > 1),
+            marks AS (
+              SELECT p, CASE WHEN p > COALESCE(lag(p) OVER (ORDER BY p), -50) + 50
+                             THEN 1 ELSE 0 END AS brk
+              FROM dup),
+            grp AS (SELECT p, sum(brk) OVER (ORDER BY p) AS gid FROM marks),
+            runs AS (SELECT min(p) AS rs, max(p) + 50 AS re FROM grp GROUP BY gid),
+            pieces AS (
+              SELECT d.doc_id,
+                     least(r.re, d.off + d.len + 1) - greatest(r.rs, d.off + 1) AS plen
+              FROM docs d JOIN runs r
+                ON r.rs < d.off + d.len + 1 AND r.re > d.off + 1),
+            removed AS (
+              SELECT doc_id, sum(CASE WHEN plen >= 50 THEN plen ELSE 0 END) AS rm
+              FROM pieces GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(d.len AS BIGINT) AS orig_bytes,
+                   CAST(d.len - COALESCE(rm.rm, 0) AS BIGINT) AS kept_bytes,
+                   CAST(COALESCE(rm.rm, 0) AS BIGINT) AS removed_bytes
+            FROM docs d LEFT JOIN removed rm ON rm.doc_id = d.doc_id
         """,
     }

@@ -7,11 +7,18 @@ maximal byte ranges covered by ANY substring of length >= ``length_threshold``
 that occurs at least twice in the corpus (all occurrences marked, including
 the first — matching the ExactSubstr tool's behavior).
 
-Algorithm: prefix-doubling suffix array (O(n log^2 n), numpy lexsort),
-Kasai LCP, then coverage union over adjacent-SA pairs with lcp >= threshold.
+Algorithm: prefix-doubling suffix array (O(n log^2 n), numpy lexsort) with
+the per-level rank arrays retained, then a fully-vectorized LCP via binary
+decomposition over those levels (O(n log n), no per-byte Python loop), then
+coverage union over adjacent-SA pairs with lcp >= threshold.
 Completeness: if S (|S| >= k) occurs at p and q, every SA-adjacent pair
 between rank(p) and rank(q) has lcp >= |S|, so the coverage union marks all
 occurrences — identical to marking all duplicated k-windows.
+
+Memory: the retained levels cost ~4*log2(n) bytes per corpus byte (int32
+ranks). Groups produced by the winnowing-anchor path are bounded by actual
+content overlap, so per-task corpora stay small; the budget is documented at
+the operator level.
 """
 
 from __future__ import annotations
@@ -19,53 +26,111 @@ from __future__ import annotations
 import numpy as np
 
 
-def build_suffix_array(data: bytes) -> np.ndarray:
-    """Prefix-doubling suffix array over raw bytes."""
+def _build_sa_levels(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Prefix-doubling suffix array + rank arrays per doubling level.
+
+    ``levels[j][i]`` is the equivalence class of ``data[i : i + 2**j]``; for
+    fully in-bounds windows, equal class <=> equal bytes (the -1 padding only
+    affects windows that run past the end, which the LCP descend skips via
+    its bounds check)."""
     n = len(data)
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64), []
     rank = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    levels = [rank.astype(np.int32)]
     k = 1
+    order: np.ndarray | None = None
+    sizes: np.ndarray | None = None  # per-slot class size of `rank` along `order`
     while True:
         rank2 = np.full(n, -1, dtype=np.int64)
         if k < n:
             rank2[: n - k] = rank[k:]
-        order = np.lexsort((rank2, rank))
+        if order is None:
+            # first level: one full packed-key argsort. rank2+1 in [0, base)
+            # makes key = rank*base + rank2+1 collision-free.
+            base = int(rank.max()) + 2
+            order = np.argsort(rank * base + rank2 + 1)
+        else:
+            # refinement: `order` is already grouped by rank class (classes
+            # are contiguous slot runs). Only classes with >1 member need
+            # re-sorting by (rank, rank2); sorting that subset by the packed
+            # key and writing it back into the same slots (ascending) keeps
+            # settled suffixes untouched — per-level cost O(n) + O(m log m)
+            # with m = unresolved count, which collapses fast on real text.
+            unsettled = sizes > 1
+            sub = order[unsettled]
+            if len(sub):
+                base = int(rank.max()) + 2
+                key = rank[sub] * base + rank2[sub] + 1
+                order[unsettled] = sub[np.argsort(key)]
+        ro, r2o = rank[order], rank2[order]
         neq = np.empty(n, dtype=np.int64)
         neq[0] = 0
-        neq[1:] = (rank[order[1:]] != rank[order[:-1]]) | (
-            rank2[order[1:]] != rank2[order[:-1]]
-        )
+        neq[1:] = (ro[1:] != ro[:-1]) | (r2o[1:] != r2o[:-1])
         labels = np.cumsum(neq)
         if labels[-1] == n - 1 or k >= n:
-            return order
+            return order, levels
+        # class sizes along order, for the next refinement pass
+        counts = np.bincount(labels, minlength=labels[-1] + 1)
+        sizes = counts[labels]
         new_rank = np.empty(n, dtype=np.int64)
         new_rank[order] = labels
         rank = new_rank
+        levels.append(new_rank.astype(np.int32))
         k *= 2
 
 
-def lcp_array(data: bytes, sa: np.ndarray) -> np.ndarray:
-    """Kasai LCP: lcp[i] = longest common prefix of suffixes sa[i-1], sa[i]."""
-    n = len(data)
+def build_suffix_array(data: bytes) -> np.ndarray:
+    """Prefix-doubling suffix array over raw bytes."""
+    return _build_sa_levels(data)[0]
+
+
+def _lcp_from_levels(
+    n: int, sa: np.ndarray, levels: list[np.ndarray]
+) -> np.ndarray:
+    """Vectorized LCP of SA-adjacent suffix pairs by binary decomposition:
+    descend level widths 2^J .. 1; where both windows are in bounds and the
+    level ranks agree, the common prefix extends by that width. Exact: any
+    lcp < 2 * top_width (guaranteed by the doubling termination) decomposes
+    into distinct powers of two."""
     lcp = np.zeros(n, dtype=np.int64)
-    if n == 0:
+    if n < 2:
         return lcp
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r > 0:
-            j = sa[r - 1]
-            while i + h < n and j + h < n and data[i + h] == data[j + h]:
-                h += 1
-            lcp[r] = h
-            if h > 0:
-                h -= 1
-        else:
-            h = 0
+    a = sa[:-1].astype(np.int64)
+    b = sa[1:].astype(np.int64)
+    h = np.zeros(n - 1, dtype=np.int64)
+    for j in range(len(levels) - 1, -1, -1):
+        w = 1 << j
+        lv = levels[j]
+        ia = a + h
+        ib = b + h
+        ok = (ia + w <= n) & (ib + w <= n)
+        idx = np.nonzero(ok)[0]
+        if len(idx) == 0:
+            continue
+        eq = lv[ia[idx]] == lv[ib[idx]]
+        h[idx[eq]] += w
+    lcp[1:] = h
     return lcp
+
+
+def lcp_array(data: bytes, sa: np.ndarray) -> np.ndarray:
+    """LCP array: lcp[i] = longest common prefix of suffixes sa[i-1], sa[i].
+
+    Rebuilds the doubling levels (same cost class as the SA build); use
+    ``suffix_and_lcp_arrays`` to share one build."""
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    _, levels = _build_sa_levels(data)
+    return _lcp_from_levels(n, sa, levels)
+
+
+def suffix_and_lcp_arrays(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """One-pass build of (suffix array, LCP array) sharing the rank levels."""
+    n = len(data)
+    sa, levels = _build_sa_levels(data)
+    return sa, _lcp_from_levels(n, sa, levels)
 
 
 def duplicate_byte_ranges(data: bytes, length_threshold: int) -> list[slice]:
@@ -74,8 +139,7 @@ def duplicate_byte_ranges(data: bytes, length_threshold: int) -> list[slice]:
     n = len(data)
     if n == 0 or length_threshold <= 0:
         return []
-    sa = build_suffix_array(data)
-    lcp = lcp_array(data, sa)
+    sa, lcp = suffix_and_lcp_arrays(data)
     hits = np.nonzero(lcp >= length_threshold)[0]
     if len(hits) == 0:
         return []
