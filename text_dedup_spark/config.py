@@ -7,7 +7,12 @@ Field names and defaults are kept identical so a reference TOML ports by
 changing only the input/output sections to Spark sources/sinks.
 
 Uses stdlib ``tomllib`` + dataclasses (pydantic-settings' TOML machinery is
-not needed; validation is explicit).
+not needed; validation is explicit). Drop-in compatibility: all 8 shipped
+reference configs (reference ``configs/*.toml``) parse unmodified — the
+reference-only execution knobs (``num_proc``, ``batch_size``,
+``google_repo_path``, ``cache_dir``, bloom sizing) are accepted and
+recorded, and genuinely unknown fields still raise (typo safety). Verified
+by tests/test_config_compat.py against the reference configs verbatim.
 """
 
 from __future__ import annotations
@@ -19,7 +24,8 @@ from typing import Any
 
 @dataclass
 class InputConfig:
-    input_type: str = "local_files"  # local_files | table
+    # local_files | table | local_hf_dataset (HF save_to_disk dir)
+    input_type: str = "local_files"
     file_type: str = "parquet"  # parquet | csv | json
     read_arguments: dict[str, Any] = field(default_factory=dict)
 
@@ -61,6 +67,18 @@ class AlgorithmConfig:
     # suffix array
     merge_strategy: str = "longest"
     length_threshold: int = 100
+    # --- reference drop-in compatibility fields -------------------------
+    # Every shipped reference TOML parses unmodified. These knobs configure
+    # the reference's single-node execution and have no Spark meaning (or a
+    # strictly-better substitute); they are accepted and recorded so a
+    # reference user's config ports by changing only input/output paths.
+    num_proc: int | None = None  # process pool size -> Spark executors/tasks
+    batch_size: int | None = None  # HF map batch size -> Arrow batch size
+    signature_column: str = "__SIGNATURE__"  # declared, unused by pipelines
+    max_elements: int | None = None  # bloom sizing; exact dedup needs none
+    error_rate: float | None = None  # bloom FP rate; exact dedup has zero
+    google_repo_path: str | None = None  # external SA tool; in-house kernel
+    cache_dir: str | None = None  # HF cache; Spark checkpoints via run_dir
 
 
 @dataclass

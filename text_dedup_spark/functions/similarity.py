@@ -98,10 +98,19 @@ def lsh_bucketed_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 2000,
+    observation=None,
 ) -> DataFrame:
     """Approximate top-k: candidates share a sign-sketch bucket in >=1 of
     ``n_tables`` hyperplane tables; exact quantized-dot rerank inside
-    buckets. Output schema matches ``brute_force_topk``."""
+    buckets. Output schema matches ``brute_force_topk``.
+
+    Skew guard: hot buckets (all-boilerplate embeddings hash together, and
+    within-bucket pair generation is quadratic) above ``max_bucket_size``
+    are dropped from pair generation — observably, never silently: pass a
+    ``pyspark.sql.Observation`` as ``observation`` to read
+    ``n_buckets_dropped`` / ``n_postings_dropped`` after an action. Recall
+    vs ``brute_force_topk`` is pinned in tests/test_similarity.py."""
     q = emb.select(
         F.col(id_col).alias("vec_id"),
         quantize(F.col(vec_col)).alias("q"),
@@ -120,6 +129,20 @@ def lsh_bucketed_topk(
     tagged = sketched.select(
         "vec_id", "q", F.posexplode("sketches").alias("table_id", "bucket")
     )
+    sizes = tagged.groupBy("table_id", "bucket").agg(
+        F.count(F.lit(1)).alias("__bsz__")
+    )
+    flagged = sizes.withColumn("__drop__", F.col("__bsz__") > max_bucket_size)
+    if observation is not None:
+        flagged = flagged.observe(
+            observation,
+            F.sum(F.col("__drop__").cast("long")).alias("n_buckets_dropped"),
+            F.sum(F.when(F.col("__drop__"), F.col("__bsz__")).otherwise(0)).alias(
+                "n_postings_dropped"
+            ),
+        )
+    kept = flagged.where(~F.col("__drop__")).select("table_id", "bucket")
+    tagged = tagged.join(kept, ["table_id", "bucket"])
     a = tagged.select("table_id", "bucket", F.col("vec_id"), F.col("q").alias("qa"))
     b = tagged.select(
         "table_id",

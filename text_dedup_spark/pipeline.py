@@ -24,8 +24,18 @@ from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL, INDEX_COL
 
 def read_input(spark: SparkSession, config: Config) -> DataFrame:
     args = dict(config.input.read_arguments)
-    path = args.pop("path")
     split = args.pop("split", None)
+    if config.input.input_type == "local_hf_dataset":
+        # reference io.py:31-45 (load_from_disk); read_arguments carries
+        # dataset_path (and optionally keep_in_memory, which has no Spark
+        # meaning — executors stream the shards)
+        from text_dedup_spark.sources.hf_dataset import read_hf_dataset_dir
+
+        path = args.pop("dataset_path")
+        args.pop("keep_in_memory", None)
+        df = read_hf_dataset_dir(spark, path, split)
+        return _apply_split(df, split)
+    path = args.pop("path")
     reader = spark.read.options(**{k: str(v) for k, v in args.items()})
     ft = config.input.file_type
     if ft == "parquet":
@@ -40,21 +50,33 @@ def read_input(spark: SparkSession, config: Config) -> DataFrame:
 
 
 def _apply_split(df: DataFrame, split: str | None) -> DataFrame:
-    """HF-style split slicing (reference S2, ``config.toml:7`` uses
-    ``train[:2%]``): deterministic prefix limits. Supports
-    ``name[:N]`` (first N rows) and ``name[:P%]`` (first P percent)."""
+    """HF-style split slicing (reference S2; e.g. ``train[:10%]``,
+    ``train[100:200]``, ``train[5%:15%]``): deterministic row-range slices
+    via limit/offset over the load order. Percent bounds use floor
+    (``total * p // 100``). Negative indices are not supported (raise)."""
     if not split or "[" not in split:
         return df
     import re as _re
 
-    m = _re.search(r"\[\s*:\s*(\d+)(%?)\s*\]", split)
+    m = _re.search(r"\[\s*(\d+%?)?\s*:\s*(\d+%?)?\s*\]", split)
     if not m:
         raise ValueError(f"unsupported split expression: {split}")
-    n, pct = int(m.group(1)), m.group(2) == "%"
-    if pct:
-        total = df.count()
-        n = total * n // 100
-    return df.limit(n)
+    total: int | None = None
+
+    def resolve(tok: str | None) -> int | None:
+        nonlocal total
+        if tok is None:
+            return None
+        if tok.endswith("%"):
+            if total is None:
+                total = df.count()
+            return total * int(tok[:-1]) // 100
+        return int(tok)
+
+    a = resolve(m.group(1)) or 0
+    b = resolve(m.group(2))
+    out = df if b is None else df.limit(b)
+    return out.offset(a) if a else out
 
 
 def _with_ids(df: DataFrame, config: Config) -> DataFrame:
