@@ -60,6 +60,8 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
+    skew = _skew_guard_leg(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query wall time (dedup + text analytics + ANN)",
@@ -69,9 +71,65 @@ def main() -> None:
         "sf": sf_dir,
         "docs_per_sec": round(n_docs / timings["minhash_dedup"], 1),
         "cpus": int(cpus),
+        "skew_guard": skew,
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _skew_guard_leg(spark, sf_dir: str) -> dict:
+    """Pathological boilerplate corpus: every 3rd doc shares one long
+    boilerplate prefix (hot SimHash buckets / giant MinHash cluster).
+    Demonstrates the observable caps at bench scale: capped vs uncapped
+    wall time plus the caps' drop/bypass counts."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
+    from text_dedup_spark.operators.simhash import simhash_dedup
+
+    boiler = " ".join(
+        f"boilerplate{i} navigation footer copyright terms privacy cookie"
+        .split()[i % 7] + str(i)
+        for i in range(80)
+    )
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = base.count()
+    # every 2nd doc becomes the same boilerplate page (tiny tail variation):
+    # one giant near-dup cluster -> hot buckets in every permutation table
+    docs = base.select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit(boiler))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    kernel = SimHashKernel(f=64, bit_diff=3, num_bucket=4, ngram_size=3, min_length=5)
+    cap = max(100, n_docs // 20)  # well below the planted n_docs/2 hot bucket
+
+    t0 = time.time()
+    obs = Observation("bench_skew_cap")
+    res = simhash_dedup(docs, kernel, id_col="doc_id", max_bucket_size=cap,
+                        observation=obs)
+    n_dup_capped = res.docs.where(F.col("__duplicate__")).count()
+    capped_sec = round(time.time() - t0, 3)
+    got = obs.get
+
+    t0 = time.time()
+    res_full = simhash_dedup(docs, kernel, id_col="doc_id")
+    n_dup_full = res_full.docs.where(F.col("__duplicate__")).count()
+    uncapped_sec = round(time.time() - t0, 3)
+
+    leg = {
+        "cap": cap,
+        "capped_sec": capped_sec,
+        "uncapped_sec": uncapped_sec,
+        "n_buckets_dropped": int(got["n_buckets_dropped"]),
+        "n_postings_dropped": int(got["n_postings_dropped"]),
+        "n_dup_capped": int(n_dup_capped),
+        "n_dup_uncapped": int(n_dup_full),
+    }
+    print(f"# skew_guard: {leg}", file=sys.stderr)
+    return leg
 
 
 if __name__ == "__main__":

@@ -108,6 +108,66 @@ class TestStreamingDedup:
         assert results[4] == 0  # exact dup joins too
         assert results[1] == 1 and results[3] == 3  # uniques root themselves
 
+    def test_incremental_vs_batch_divergence_documented(self, spark, tmp_path):
+        """Pins the DOCUMENTED semantic gap (dedup_stream.py docstring):
+        two first-seen near-dups in the SAME micro-batch both root
+        themselves (no intra-batch clustering), while the batch pipeline
+        clusters them; a later arrival still matches the stored bands."""
+        from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+        from text_dedup_spark.operators.minhash import minhash_dedup
+        from text_dedup_spark.streaming.dedup_stream import incremental_minhash_batch
+
+        kernel = MinHashKernel(num_perm=32, ngram_size=2, min_length=3, threshold=0.5)
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        same_batch = [(10, base), (11, base + " tail")]
+        store = str(tmp_path / "bands2")
+
+        df1 = spark.createDataFrame(same_batch, "__INDEX__ long, text string")
+        out1 = {r["__INDEX__"]: r["cluster_id"]
+                for r in incremental_minhash_batch(spark, df1, kernel, store).collect()}
+        # intra-batch near-dups NOT clustered (documented weaker semantics)
+        assert out1 == {10: 10, 11: 11}
+
+        # the batch pipeline DOES cluster them — the documented difference
+        batch = minhash_dedup(df1, kernel).docs
+        assert {r["__INDEX__"]: r["__CLUSTER__"] for r in batch.collect()} == {
+            10: 10,
+            11: 10,
+        }
+
+        # next batch: both stored roots are visible; min-cluster tie-break
+        df2 = spark.createDataFrame([(12, base)], "__INDEX__ long, text string")
+        out2 = {r["__INDEX__"]: r["cluster_id"]
+                for r in incremental_minhash_batch(spark, df2, kernel, store).collect()}
+        assert out2 == {12: 10}
+
+    def test_first_batch_requires_no_store_but_bad_store_raises(self, spark, tmp_path):
+        """The first-batch path is an existence check, not a swallowed
+        exception: a corrupt store directory must fail loudly."""
+        import pytest
+
+        from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+        from text_dedup_spark.streaming.dedup_stream import incremental_minhash_batch
+
+        kernel = MinHashKernel(num_perm=32, ngram_size=2, min_length=3, threshold=0.5)
+        df = spark.createDataFrame(
+            [(0, "some perfectly reasonable text for the first batch")],
+            "__INDEX__ long, text string",
+        )
+        # missing dir -> fine (first batch)
+        out = incremental_minhash_batch(spark, df, kernel, str(tmp_path / "fresh"))
+        assert out.count() == 1
+        # corrupt store -> loud failure
+        bad = tmp_path / "corrupt"
+        bad.mkdir()
+        (bad / "part-0000.parquet").write_text("this is not parquet")
+        df2 = spark.createDataFrame(
+            [(1, "more text arriving in the second batch window")],
+            "__INDEX__ long, text string",
+        )
+        with pytest.raises(Exception):
+            incremental_minhash_batch(spark, df2, kernel, str(bad)).collect()
+
 
 class TestMultimodalToSimilarity:
     def test_media_features_feed_ann_and_dedup(self, spark):

@@ -67,6 +67,14 @@ class AlgorithmConfig:
     # suffix array
     merge_strategy: str = "longest"
     length_threshold: int = 100
+    # --- execution profile ----------------------------------------------
+    # "parity": reference-faithful, no skew caps (default).
+    # "scale": pins non-None skew guards when unset — max_bucket_size=10000
+    # (SimHash hot-bucket cap) and max_cluster_verify=1000 (MinHash FP-verify
+    # cluster cap). Both caps are observable via Observation metrics.
+    profile: str = "parity"
+    max_bucket_size: int | None = None
+    max_cluster_verify: int | None = None
     # --- reference drop-in compatibility fields -------------------------
     # Every shipped reference TOML parses unmodified. These knobs configure
     # the reference's single-node execution and have no Spark meaning (or a

@@ -74,7 +74,7 @@ def jaccard_pairs_prefix(
                       F.col("sz").alias("szb"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("bigint")
     t_num, t_den = _as_fraction(threshold)
-    return (
+    result = (
         cand.join(ga, "a_id")
         .join(gb, "b_id")
         .withColumn("inter_size", inter)
@@ -83,6 +83,12 @@ def jaccard_pairs_prefix(
         .where(F.col("inter_size") * t_den >= F.col("union_size") * t_num)
         .select("a_id", "b_id", "inter_size", "union_size")
     )
+    # materialize (the qualifying-pair output is small by construction:
+    # near-dup pairs only), then release the cached gram arrays — a long
+    # session would otherwise accumulate one pinned `sized` per call
+    result = result.localCheckpoint(eager=True)
+    sized.unpersist()
+    return result
 
 
 def _as_fraction(threshold: float, max_den: int = 1_000_000) -> tuple[int, int]:

@@ -152,6 +152,7 @@ def check_false_positives(
     kernel: MinHashKernel,
     text_col: str = "text",
     max_cluster_verify: int | None = None,
+    observation=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Intra-cluster pairwise Jaccard re-check, re-assign min-idx within the
     *old* cluster (exact semantics of reference ``minhash.py:101-170`` —
@@ -169,10 +170,13 @@ def check_false_positives(
     if max_cluster_verify is not None:
         sizes = cand.groupBy(CLUSTER_COL).agg(F.count(F.lit(1)).alias("__csz__"))
         cand_all = cand.join(sizes, CLUSTER_COL)
-        bypassed = (
-            cand_all.where(F.col("__csz__") > max_cluster_verify)
-            .select(F.col(INDEX_COL).alias("idx"), F.col(CLUSTER_COL))
-            .observe("fp_bypassed", F.count(F.lit(1)).alias("n_bypassed"))
+        bypassed = cand_all.where(F.col("__csz__") > max_cluster_verify).select(
+            F.col(INDEX_COL).alias("idx"), F.col(CLUSTER_COL)
+        )
+        # observable, never silent: readable post-action via Observation
+        bypassed = bypassed.observe(
+            observation if observation is not None else "fp_bypassed",
+            F.count(F.lit(1)).alias("n_bypassed"),
         )
         cand = cand_all.where(F.col("__csz__") <= max_cluster_verify).drop("__csz__")
     left = cand.select(
@@ -220,6 +224,7 @@ def minhash_dedup(
     repartition_input: int | None = None,
     cc_driver_threshold: int = 5_000_000,
     max_cluster_verify: int | None = None,
+    observation=None,
 ) -> MinHashDedupResult:
     """End-to-end MinHash dedup. ``df`` must already carry a unique long id
     in ``id_col`` (see ``operators.ids.assign_ids``).
@@ -246,7 +251,11 @@ def minhash_dedup(
     assigned = assign_clusters(filtered.drop("__BANDS__"), mapping)
     if check_false_positive:
         assigned, mapping = check_false_positives(
-            assigned, kernel, text_col, max_cluster_verify=max_cluster_verify
+            assigned,
+            kernel,
+            text_col,
+            max_cluster_verify=max_cluster_verify,
+            observation=observation,
         )
 
     kept = (

@@ -100,13 +100,32 @@ def simhash_fingerprint(
 
 
 def simhash_edges(
-    fingerprints: DataFrame, bit_diff: int, max_bucket_size: int | None = None
+    fingerprints: DataFrame,
+    bit_diff: int,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
-    """All-pairs-within-bucket Hamming join -> edges. JVM-side popcount."""
+    """All-pairs-within-bucket Hamming join -> edges. JVM-side popcount.
+
+    ``max_bucket_size`` caps pathological buckets (within-bucket pair count
+    is quadratic; boilerplate corpora concentrate in few buckets). Capping
+    is observable, never silent: pass a ``pyspark.sql.Observation`` to read
+    ``n_buckets_dropped`` / ``n_postings_dropped`` after an action."""
     fp = fingerprints
     if max_bucket_size is not None:
         sizes = fp.groupBy("__key__").agg(F.count(F.lit(1)).alias("__bsz__"))
-        fp = fp.join(sizes.where(F.col("__bsz__") <= max_bucket_size), "__key__")
+        flagged = sizes.withColumn("__drop__", F.col("__bsz__") > max_bucket_size)
+        if observation is not None:
+            flagged = flagged.observe(
+                observation,
+                F.sum(F.col("__drop__").cast("long")).alias("n_buckets_dropped"),
+                F.sum(
+                    F.when(F.col("__drop__"), F.col("__bsz__")).otherwise(0)
+                ).alias("n_postings_dropped"),
+            )
+        fp = fp.join(
+            flagged.where(~F.col("__drop__")).select("__key__"), "__key__"
+        )
     left = fp.select(
         F.col("__key__"),
         F.col(INDEX_COL).alias("id1"),
@@ -169,6 +188,7 @@ def simhash_dedup(
     max_bucket_size: int | None = None,
     repartition_input: int | None = None,
     cc_driver_threshold: int = 5_000_000,
+    observation=None,
 ) -> SimHashDedupResult:
     docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
     if repartition_input:
@@ -176,7 +196,7 @@ def simhash_dedup(
     # persist: the fingerprint UDF output is consumed by both sides of the
     # bucket self-join (and bucket-size capping when enabled)
     fps = simhash_fingerprint(docs, kernel, text_col).persist()
-    edges = simhash_edges(fps, kernel.bit_diff, max_bucket_size)
+    edges = simhash_edges(fps, kernel.bit_diff, max_bucket_size, observation)
     mapping = connected_components(edges, driver_threshold=cc_driver_threshold)
 
     m = mapping.select(F.col("id").alias(INDEX_COL), F.col("cluster").alias("__C__"))

@@ -107,6 +107,14 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
         spark = get_spark("text-dedup-spark", master=config.spark.master, conf=conf)
 
     algo = config.algorithm
+    # "scale" profile pins the skew guards when unset (config.py docstring)
+    max_bucket_size = algo.max_bucket_size
+    max_cluster_verify = algo.max_cluster_verify
+    if algo.profile == "scale":
+        max_bucket_size = 10_000 if max_bucket_size is None else max_bucket_size
+        max_cluster_verify = (
+            1_000 if max_cluster_verify is None else max_cluster_verify
+        )
     t0 = time.time()
 
     runner = None
@@ -149,6 +157,7 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
                 text_col=algo.text_column,
                 check_false_positive=algo.check_false_positive,
                 skip_filtering=True,
+                max_cluster_verify=max_cluster_verify,
             )
             return res.docs
 
@@ -182,6 +191,7 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
                 check_false_positive=algo.check_false_positive,
                 jaccard_threshold=algo.jaccard_threshold,
                 skip_filtering=True,
+                max_bucket_size=max_bucket_size,
             ).docs
 
         assigned = stage("assigned", {"cfg": cfg_dict, "stage": "assigned"}, build_assigned)

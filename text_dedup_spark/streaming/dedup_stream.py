@@ -51,7 +51,24 @@ def incremental_minhash_batch(
     """foreachBatch body: returns (id, matched_cluster_id nullable) for the
     batch, and appends the batch's bands to the store. A batch doc matches a
     cluster when any of its band values collides with a stored band value;
-    unmatched docs become new cluster roots (their own id)."""
+    unmatched docs become new cluster roots (their own id).
+
+    SEMANTICS vs the batch ``minhash_dedup`` (intentionally weaker, the
+    standard streaming-LSH tradeoff; tested in
+    tests/test_streaming_multimodal.py::TestIncrementalSemantics):
+
+    - *No cross-batch connected components.* A doc joins the single best
+      (min-cluster-id) existing cluster; if its bands collide with TWO
+      existing clusters, batch CC would merge them — here they stay
+      separate and the doc takes the smaller id (min tie-break).
+    - *No intra-batch clustering.* Two first-seen near-dups in the SAME
+      micro-batch both become roots (their bands only reach the store after
+      the batch); the collision is detected from the NEXT batch on. Batch
+      granularity is the dedup horizon.
+    - *Any-band-collision match* equals the batch LSH candidate rule
+      (band-equality), but without the optional Jaccard FP re-check.
+    Replaying all batches through the batch pipeline remains the exact
+    path; this operator is the O(batch x bands) incremental approximation."""
     with_bands = batch_df.withColumn(
         "__BANDS__", _bands_udf(kernel)(F.col(text_col))
     ).where(F.col("__BANDS__").isNotNull())
@@ -60,7 +77,15 @@ def incremental_minhash_batch(
     bands = _explode_bands(with_bands, kernel)
     if id_col != INDEX_COL:
         bands = bands.withColumnRenamed(INDEX_COL, id_col)
-    try:
+    # explicit existence check (not a bare except: a corrupt store or a
+    # wrong path must fail loudly, only a genuinely-first batch may skip)
+    import glob
+    import os
+
+    store_has_data = os.path.isdir(band_store_dir) and bool(
+        glob.glob(os.path.join(band_store_dir, "*.parquet"))
+    )
+    if store_has_data:
         store = spark.read.parquet(band_store_dir)
         matches = (
             bands.join(
@@ -74,7 +99,7 @@ def incremental_minhash_batch(
             .groupBy(id_col)
             .agg(F.min("__match__").alias("matched_cluster_id"))
         )
-    except Exception:  # first batch: empty store
+    else:  # first batch: empty store
         matches = bands.select(F.col(id_col)).distinct().withColumn(
             "matched_cluster_id", F.lit(None).cast("long")
         ).limit(0)
