@@ -50,6 +50,7 @@ def main() -> None:
 
     queries = entry_mod.queries()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    _warmup(spark)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -75,6 +76,14 @@ def main() -> None:
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _warmup(spark) -> None:
+    """Spin up the Python UDF worker pool once before timing. A long-lived
+    cluster has warm workers; without this the first pandas-UDF query pays
+    ~4 s of one-time worker startup (32 interpreters importing numpy/pandas)
+    that belongs to session setup, not to that query."""
+    spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").count()
 
 
 def _skew_guard_leg(spark, sf_dir: str) -> dict:

@@ -105,6 +105,25 @@ class TestAnchoredGrouping:
         # chain members actually got rewritten
         assert len(a[40]) < len(texts[40])
 
+    def test_auto_dispatch_both_paths_equal(self, spark):
+        """suffix_array_dedup_auto picks global below the byte threshold and
+        anchored above it; forced either way the output is identical."""
+        from text_dedup_spark.operators.suffix_dedup import suffix_array_dedup_auto
+
+        texts = make_corpus(seed=21, n=80)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["__INDEX__", "text"]
+        )
+        via_global = suffix_array_dedup_auto(
+            df, length_threshold=100, global_bytes_threshold=1 << 30
+        )
+        via_anchored = suffix_array_dedup_auto(
+            df, length_threshold=100, global_bytes_threshold=0
+        )
+        g = {r["__INDEX__"]: r["text"] for r in via_global.docs.collect()}
+        a = {r["__INDEX__"]: r["text"] for r in via_anchored.docs.collect()}
+        assert g == a
+
     def test_winnowing_guarantee(self):
         from text_dedup_spark.kernels.winnowing import winnow_anchors
 

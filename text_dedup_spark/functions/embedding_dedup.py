@@ -28,7 +28,9 @@ def cosine_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    target_block_rows: int = 50_000,
+    gemm_chunk_rows: int = 2048,
 ) -> DataFrame:
     """All-pairs cosine >= threshold edges over quantized vectors, exact.
 
@@ -39,12 +41,22 @@ def cosine_edges(
     ``n_blocks`` groups; each of the B*(B+1)/2 block pairs is one
     ``applyInPandas`` task computing a float64 BLAS matmul as a prefilter
     (with a conservative margin) and confirming survivors in exact int64 —
-    ~100x faster than per-pair expression dots, and each task's memory is
-    (|block| x dim), so B sizes the memory/parallelism tradeoff at scale."""
+    ~100x faster than per-pair expression dots.
+
+    Scale sizing: ``n_blocks`` defaults to ceil(n / target_block_rows)
+    (min 8), so per-task vector storage stays ~(target_block_rows x dim)
+    regardless of table size, and the prefilter matmul runs in
+    ``gemm_chunk_rows``-row slabs so the dots matrix never materializes
+    beyond (chunk x |block|) — constant task memory at any n."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
+    if n_blocks is None:
+        n_total = emb.count()
+        n_blocks = max(8, math.ceil(n_total / max(1, target_block_rows)))
     q = emb.select(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q")
     )
@@ -73,30 +85,34 @@ def cosine_edges(
         rb = np.array(rrows["q"].tolist(), dtype=np.int64)
         lids = lrows["vid"].to_numpy()
         rids = rrows["vid"].to_numpy()
-        # float64 BLAS prefilter with margin (exact confirm below)
+        # float64 BLAS prefilter with margin (exact confirm below), run in
+        # row slabs so the dots matrix is (chunk x |block|), never bigger
         laf, rbf = la.astype(np.float64), rb.astype(np.float64)
-        dots_f = laf @ rbf.T
         na = np.einsum("ij,ij->i", laf, laf)
         nb = np.einsum("ij,ij->i", rbf, rbf)
-        thresh = np.sqrt(np.outer(na, nb)) * (threshold - 1e-9)
-        cand = np.nonzero((dots_f >= thresh) & (dots_f >= 0))
         srcs, dsts = [], []
-        for i, j in zip(*cand, strict=True):
-            a_id, b_id = int(lids[i]), int(rids[j])
-            if a_id == b_id:
-                continue
-            if a_id > b_id:
-                if diagonal:
-                    continue  # the (j, i) candidate covers this pair
-                a_id, b_id = b_id, a_id  # off-diagonal: normalize, don't drop
-            dot = int(la[i] @ rb[j])
-            if dot < 0:
-                continue
-            n_a = int(la[i] @ la[i])
-            n_b = int(rb[j] @ rb[j])
-            if dot * dot * 1_000_000 >= n_a * n_b * t2_millionths:
-                srcs.append(a_id)
-                dsts.append(b_id)
+        for lo in range(0, len(laf), gemm_chunk_rows):
+            hi = min(lo + gemm_chunk_rows, len(laf))
+            dots_f = laf[lo:hi] @ rbf.T
+            thresh = np.sqrt(np.outer(na[lo:hi], nb)) * (threshold - 1e-9)
+            cand = np.nonzero((dots_f >= thresh) & (dots_f >= 0))
+            for ci, j in zip(*cand, strict=True):
+                i = lo + ci
+                a_id, b_id = int(lids[i]), int(rids[j])
+                if a_id == b_id:
+                    continue
+                if a_id > b_id:
+                    if diagonal:
+                        continue  # the (j, i) candidate covers this pair
+                    a_id, b_id = b_id, a_id  # off-diagonal: normalize, don't drop
+                dot = int(la[i] @ rb[j])
+                if dot < 0:
+                    continue
+                n_a = int(la[i] @ la[i])
+                n_b = int(rb[j] @ rb[j])
+                if dot * dot * 1_000_000 >= n_a * n_b * t2_millionths:
+                    srcs.append(a_id)
+                    dsts.append(b_id)
         return pd.DataFrame({"src": srcs, "dst": dsts}, dtype="int64")
 
     return tagged.groupBy("ba", "bb").applyInPandas(block_pair, "src long, dst long")

@@ -116,16 +116,29 @@ def lsh_bucketed_topk(
         quantize(F.col(vec_col)).alias("q"),
         F.col(vec_col).alias("v"),
     )
-    sketched = q.select(
-        "vec_id",
-        "q",
-        F.array(
-            *[
-                sign_sketch(F.col("v"), _hyperplanes(dim, n_planes, seed + t))
-                for t in range(n_tables)
-            ]
-        ).alias("sketches"),
-    )
+    # all tables' sign sketches in one vectorized pandas UDF: a single
+    # (batch x dim) @ (dim x n_tables*n_planes) GEMM + bit-pack, instead of
+    # n_tables*n_planes*dim folded Catalyst expressions (whose codegen
+    # compile time alone dominates at small scale)
+    import numpy as np
+
+    planes_all = np.concatenate(
+        [np.asarray(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    ).T  # (dim, n_tables*n_planes)
+    weights = np.ascontiguousarray(planes_all)
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def sketch_udf(vecs):
+        import pandas as pd
+
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        proj = m @ weights  # (batch, n_tables*n_planes)
+        bits = (proj >= 0).astype(np.int64).reshape(len(m), n_tables, n_planes)
+        codes = bits @ pow2  # (batch, n_tables)
+        return pd.Series(list(codes))
+
+    sketched = q.select("vec_id", "q", sketch_udf(F.col("v")).alias("sketches"))
     tagged = sketched.select(
         "vec_id", "q", F.posexplode("sketches").alias("table_id", "bucket")
     )

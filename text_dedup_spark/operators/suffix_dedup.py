@@ -121,9 +121,11 @@ def suffix_array_dedup_anchored(
 
     slim = df.select(F.col(id_col), F.col(text_col)).persist()
     with_anchors = slim.withColumn("__ANCH__", anchors_udf()(F.col(text_col)))
+    # persisted: consumed by the roots aggregation AND the edge join-back —
+    # without it the winnowing UDF runs twice
     postings = with_anchors.select(
         F.col(id_col), F.explode("__ANCH__").alias("anchor")
-    )
+    ).persist()
     roots = (
         postings.groupBy("anchor")
         .agg(F.min(id_col).alias("__root__"), F.count(F.lit(1)).alias("__cnt__"))
@@ -186,6 +188,50 @@ def suffix_array_dedup_anchored(
     rewritten = grouped.select("__grp__", id_col, text_col).groupBy("__grp__").applyInPandas(
         process, schema=f"{id_col} long, {text_col} string"
     )
+    # materialize the rewritten text (same size class as the input; this is
+    # the stage-checkpoint of the pipeline design), then release the caches
+    rewritten = rewritten.localCheckpoint(eager=True)
+    postings.unpersist()
+    slim.unpersist()
     docs = df.drop(text_col).join(rewritten, id_col)
     kept = docs.where(F.length(F.col(text_col)) > 0)
     return SuffixDedupResult(docs=docs, kept=kept)
+
+
+def suffix_array_dedup_auto(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = INDEX_COL,
+    length_threshold: int = 100,
+    merge_strategy: str = "longest",
+    global_bytes_threshold: int = 256 << 20,
+    anchor_w: int = 48,
+    max_group_size: int | None = None,
+) -> SuffixDedupResult:
+    """Size-based physical planning (the broadcast-threshold idiom): corpora
+    whose total UTF-8 bytes fit one comfortable in-memory suffix-array task
+    take the 2-stage global pass; larger corpora take the lossless
+    winnowing-anchored path whose per-group work is bounded by actual
+    content overlap. Both produce identical output (tested); the crossover
+    exists because the anchored path spends ~6 extra Spark stages, which
+    dominates below a few hundred MB and is noise above it."""
+    total = df.select(
+        F.sum(F.length(F.encode(F.col(text_col), "utf-8"))).alias("b")
+    ).first()["b"] or 0
+    if total <= global_bytes_threshold:
+        return suffix_array_dedup(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            length_threshold=length_threshold,
+            merge_strategy=merge_strategy,
+        )
+    return suffix_array_dedup_anchored(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        length_threshold=length_threshold,
+        merge_strategy=merge_strategy,
+        anchor_w=anchor_w,
+        max_group_size=max_group_size,
+    )

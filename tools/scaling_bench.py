@@ -45,6 +45,10 @@ spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet("{data}/pages")
 n = df.count()
 kernel = MinHashKernel(num_perm=128, ngram_size=2, min_length=5, threshold=0.5)
+# warm the Python UDF worker pool before timing (a long-lived cluster's
+# steady state; worker startup is a per-process constant, not job work —
+# and it applies identically to both legs)
+spark.range(cpus * 2).repartition(cpus * 2).mapInPandas(lambda it: it, "id long").count()
 t0 = time.time()
 res = minhash_dedup(df, kernel, id_col="doc_id", repartition_input=cpus * 4)
 kept = res.kept.count()
