@@ -105,6 +105,41 @@ def q_lang_marker_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality scoring (task brief: quality scoring over
+    length / token-shape / stopword ratios). Integer milli-ratios keep the
+    comparison engine-exact; the class thresholds mirror a typical
+    training-data keep/flag/drop gate."""
+    from text_dedup_spark.functions.text_stats import token_count
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_tokens = token_count(t).cast("long")
+    n_chars = F.length(t).cast("long")
+    toks = F.split(t, " ")
+    n_stop = F.size(
+        F.filter(toks, lambda x: (x == F.lit("the")) | (x == F.lit("a")) | (x == F.lit("of")))
+    ).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    stop_milli = (n_stop * 1000).cast("long") / n_tokens
+    stop_milli = F.floor(stop_milli).cast("long")
+    ttr_milli = F.floor((n_distinct * 1000).cast("long") / n_tokens).cast("long")
+    mean_tok_len_milli = F.floor(
+        ((n_chars - (n_tokens - 1)) * 1000).cast("long") / n_tokens
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_milli.alias("stop_milli"),
+        ttr_milli.alias("ttr_milli"),
+        mean_tok_len_milli.alias("mean_tok_len_milli"),
+        F.when((n_tokens >= 50) & (ttr_milli >= 300), F.lit("keep"))
+        .when(n_tokens >= 20, F.lit("flag"))
+        .otherwise(F.lit("drop"))
+        .alias("quality_class"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint (md5 prefix)."""
     from text_dedup_spark.functions.text_stats import doc_fingerprint
@@ -325,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": q_exact_dedup_groups,
         "exact_dup_flags": q_exact_dup_flags,
         "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
         "lang_marker_profile": q_lang_marker_profile,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -362,6 +398,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(text) AS BIGINT) AS n_chars_calc,
                    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
             FROM documents
+        """,
+        "quality_score": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(len(text) AS BIGINT) AS n_chars,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) AS n_stop,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(floor((n_stop * 1000) / n_tokens) AS BIGINT) AS stop_milli,
+                   CAST(floor((n_distinct * 1000) / n_tokens) AS BIGINT) AS ttr_milli,
+                   CAST(floor(((n_chars - (n_tokens - 1)) * 1000) / n_tokens) AS BIGINT) AS mean_tok_len_milli,
+                   CASE WHEN n_tokens >= 50 AND floor((n_distinct * 1000) / n_tokens) >= 300 THEN 'keep'
+                        WHEN n_tokens >= 20 THEN 'flag'
+                        ELSE 'drop' END AS quality_class
+            FROM t
         """,
         "lang_marker_profile": """
             WITH t AS (

@@ -86,6 +86,55 @@ class TestStreamingDedup:
         assert sorted(set(got_texts)) == sorted({t for t in texts})
         assert len(got_texts) == 30  # exactly one row per distinct text
 
+    def test_incremental_minhash_via_foreachbatch_query(self, spark, tmp_path):
+        """End-to-end Structured Streaming: a real writeStream.foreachBatch
+        query drives incremental_minhash_batch over a file stream (one file
+        per micro-batch via maxFilesPerTrigger), cross-batch matches land in
+        the band store exactly as in the direct-call tests."""
+        from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+        from text_dedup_spark.streaming.dedup_stream import incremental_minhash_batch
+
+        src = tmp_path / "stream_src"
+        out = tmp_path / "assigned"
+        ckpt = tmp_path / "ckpt2"
+        store = str(tmp_path / "band_store")
+        src.mkdir()
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        files = [
+            [(0, base), (1, "first batch unique content with plenty of words here")],
+            [(2, base + " extra"), (3, "second batch fresh text nothing like the rest")],
+            [(4, base)],
+        ]
+        for i, rows in enumerate(files):
+            spark.createDataFrame(rows, "__INDEX__ long, text string").coalesce(
+                1
+            ).write.parquet(str(src / f"f{i}"))
+
+        kernel = MinHashKernel(num_perm=32, ngram_size=2, min_length=3, threshold=0.5)
+
+        def handle(batch_df, batch_id):
+            assigned = incremental_minhash_batch(spark, batch_df, kernel, store)
+            assigned.write.mode("append").parquet(str(out))
+
+        stream = (
+            spark.readStream.schema("__INDEX__ long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {r["__INDEX__"]: r["cluster_id"] for r in spark.read.parquet(str(out)).collect()}
+        assert len(got) == 5
+        # batch order is file order; near-dups across batches share a cluster
+        roots = {got[0], got[2], got[4]}
+        assert len(roots) == 1  # all base-variants matched one stored root
+        assert got[1] == 1 and got[3] == 3
+
     def test_incremental_minhash_batches(self, spark, tmp_path):
         from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
         from text_dedup_spark.streaming.dedup_stream import incremental_minhash_batch

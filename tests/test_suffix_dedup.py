@@ -124,6 +124,57 @@ class TestAnchoredGrouping:
         a = {r["__INDEX__"]: r["text"] for r in via_anchored.docs.collect()}
         assert g == a
 
+    def test_byte_cap_splits_observably_with_locality_recall(self, spark):
+        """max_group_bytes splits an oversized group into min-anchor-range
+        subgroups: the split is counted via Observation, and because real
+        duplicate clusters share their minimum anchor, most removable bytes
+        survive the split (recall floor pinned)."""
+        import numpy as np
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from text_dedup_spark.operators.suffix_dedup import suffix_array_dedup_anchored
+
+        rng = np.random.RandomState(17)
+        words = [f"w{i}" for i in range(400)]
+
+        def doc(n):
+            return " ".join(words[i] for i in rng.randint(0, 400, size=n))
+
+        # one shared template chains ALL docs into one anchor component;
+        # planted exact pairs are the recoverable duplication
+        template = doc(60)
+        texts = []
+        for i in range(120):
+            body = doc(rng.randint(60, 120))
+            texts.append(template + " " + body)
+        for i in range(0, 40, 2):
+            texts[i + 1] = texts[i]  # exact duplicate pairs
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["__INDEX__", "text"]
+        )
+
+        lossless = suffix_array_dedup_anchored(df, length_threshold=100)
+        l_removed = (
+            df.select(F.sum(F.length(F.encode("text", "utf-8")))).first()[0]
+            - lossless.docs.select(F.sum(F.length(F.encode("text", "utf-8")))).first()[0]
+        )
+        assert l_removed > 0
+
+        obs = Observation("sfx_cap_test")
+        capped = suffix_array_dedup_anchored(
+            df, length_threshold=100, max_group_bytes=20_000, observation=obs
+        )
+        c_removed = (
+            df.select(F.sum(F.length(F.encode("text", "utf-8")))).first()[0]
+            - capped.docs.select(F.sum(F.length(F.encode("text", "utf-8")))).first()[0]
+        )
+        got = obs.get
+        assert got["n_groups_split"] >= 1
+        assert got["n_rows_in_split_groups"] >= 100
+        # locality split keeps most of the removable bytes despite splitting
+        assert c_removed / l_removed >= 0.6, (c_removed, l_removed)
+
     def test_winnowing_guarantee(self):
         from text_dedup_spark.kernels.winnowing import winnow_anchors
 

@@ -26,30 +26,56 @@ from __future__ import annotations
 import numpy as np
 
 
-def _build_sa_levels(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
+_START_WIDTH = 7  # symbols packed 9-bit into one int64 key (7*9=63 bits)
+
+
+def _initial_rank(data: bytes, n: int) -> tuple[np.ndarray, int]:
+    """Initial equivalence classes: width-7 packed keys for real corpora
+    (skips the byte-level doubling levels where zipf-heavy text has its
+    largest tie classes — the dominant cost), byte-level for tiny inputs.
+
+    Packing uses symbol values byte+1 in 9 bits with 0 padding past the end,
+    so shorter suffixes order strictly before longer same-prefix ones —
+    identical to the -1-padding convention of the doubling loop."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if n < 16:
+        return arr.astype(np.int64), 1
+    sym = arr.astype(np.int64) + 1
+    key = np.zeros(n, dtype=np.int64)
+    for j in range(_START_WIDTH):
+        shifted = np.zeros(n, dtype=np.int64)
+        if n - j > 0:
+            shifted[: n - j] = sym[j:]
+        key = (key << 9) | shifted
+    return key, _START_WIDTH
+
+
+def _build_sa_levels(
+    data: bytes,
+) -> tuple[np.ndarray, list[np.ndarray], list[int]]:
     """Prefix-doubling suffix array + rank arrays per doubling level.
 
-    ``levels[j][i]`` is the equivalence class of ``data[i : i + 2**j]``; for
-    fully in-bounds windows, equal class <=> equal bytes (the -1 padding only
-    affects windows that run past the end, which the LCP descend skips via
-    its bounds check)."""
+    ``levels[j][i]`` is the equivalence class of ``data[i : i + widths[j]]``;
+    for fully in-bounds windows, equal class <=> equal bytes (the -1 padding
+    only affects windows that run past the end, which the LCP descend skips
+    via its bounds check). Widths are start_width * 2^j."""
     n = len(data)
     if n == 0:
-        return np.empty(0, dtype=np.int64), []
-    rank = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-    levels = [rank.astype(np.int32)]
-    k = 1
+        return np.empty(0, dtype=np.int64), [], []
+    rank, k = _initial_rank(data, n)
+    widths = [k]
+    levels: list[np.ndarray] = []
     order: np.ndarray | None = None
     sizes: np.ndarray | None = None  # per-slot class size of `rank` along `order`
+    levels.append(rank)  # level 0: the initial (possibly packed-key) ranks
     while True:
         rank2 = np.full(n, -1, dtype=np.int64)
         if k < n:
             rank2[: n - k] = rank[k:]
         if order is None:
-            # first level: one full packed-key argsort. rank2+1 in [0, base)
-            # makes key = rank*base + rank2+1 collision-free.
-            base = int(rank.max()) + 2
-            order = np.argsort(rank * base + rank2 + 1)
+            # first iteration: initial ranks may be packed 63-bit keys, so a
+            # two-key lexsort (no arithmetic packing) avoids overflow
+            order = np.lexsort((rank2, rank))
         else:
             # refinement: `order` is already grouped by rank class (classes
             # are contiguous slot runs). Only classes with >1 member need
@@ -69,7 +95,7 @@ def _build_sa_levels(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
         neq[1:] = (ro[1:] != ro[:-1]) | (r2o[1:] != r2o[:-1])
         labels = np.cumsum(neq)
         if labels[-1] == n - 1 or k >= n:
-            return order, levels
+            return order, levels, widths
         # class sizes along order, for the next refinement pass
         counts = np.bincount(labels, minlength=labels[-1] + 1)
         sizes = counts[labels]
@@ -77,6 +103,7 @@ def _build_sa_levels(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
         new_rank[order] = labels
         rank = new_rank
         levels.append(new_rank.astype(np.int32))
+        widths.append(2 * k)
         k *= 2
 
 
@@ -86,21 +113,25 @@ def build_suffix_array(data: bytes) -> np.ndarray:
 
 
 def _lcp_from_levels(
-    n: int, sa: np.ndarray, levels: list[np.ndarray]
+    data: bytes, sa: np.ndarray, levels: list[np.ndarray], widths: list[int]
 ) -> np.ndarray:
-    """Vectorized LCP of SA-adjacent suffix pairs by binary decomposition:
-    descend level widths 2^J .. 1; where both windows are in bounds and the
-    level ranks agree, the common prefix extends by that width. Exact: any
-    lcp < 2 * top_width (guaranteed by the doubling termination) decomposes
-    into distinct powers of two."""
+    """Vectorized LCP of SA-adjacent suffix pairs by greedy decomposition:
+    descend level widths w0*2^J .. w0; where both windows are in bounds and
+    the level ranks agree, the common prefix extends by that width — this
+    yields floor(lcp/w0)*w0 exactly (binary decomposition of the quotient;
+    lcp < 2*top_width is guaranteed by the doubling termination). The
+    residue < w0 is finished with <= w0-1 vectorized byte-comparison
+    passes."""
+    n = len(data)
     lcp = np.zeros(n, dtype=np.int64)
     if n < 2:
         return lcp
+    arr = np.frombuffer(data, dtype=np.uint8)
     a = sa[:-1].astype(np.int64)
     b = sa[1:].astype(np.int64)
     h = np.zeros(n - 1, dtype=np.int64)
     for j in range(len(levels) - 1, -1, -1):
-        w = 1 << j
+        w = widths[j]
         lv = levels[j]
         ia = a + h
         ib = b + h
@@ -110,6 +141,19 @@ def _lcp_from_levels(
             continue
         eq = lv[ia[idx]] == lv[ib[idx]]
         h[idx[eq]] += w
+    # residue: < widths[0] bytes, compared directly (vectorized per pass)
+    if widths and widths[0] > 1:
+        active = np.arange(n - 1)
+        for _ in range(widths[0] - 1):
+            ia = a[active] + h[active]
+            ib = b[active] + h[active]
+            ok = (ia < n) & (ib < n)
+            eq = np.zeros(len(active), dtype=bool)
+            eq[ok] = arr[ia[ok]] == arr[ib[ok]]
+            h[active[eq]] += 1
+            active = active[eq]
+            if len(active) == 0:
+                break
     lcp[1:] = h
     return lcp
 
@@ -122,15 +166,14 @@ def lcp_array(data: bytes, sa: np.ndarray) -> np.ndarray:
     n = len(data)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    _, levels = _build_sa_levels(data)
-    return _lcp_from_levels(n, sa, levels)
+    _, levels, widths = _build_sa_levels(data)
+    return _lcp_from_levels(data, sa, levels, widths)
 
 
 def suffix_and_lcp_arrays(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     """One-pass build of (suffix array, LCP array) sharing the rank levels."""
-    n = len(data)
-    sa, levels = _build_sa_levels(data)
-    return sa, _lcp_from_levels(n, sa, levels)
+    sa, levels, widths = _build_sa_levels(data)
+    return sa, _lcp_from_levels(data, sa, levels, widths)
 
 
 def duplicate_byte_ranges(data: bytes, length_threshold: int) -> list[slice]:

@@ -89,14 +89,35 @@ def suffix_array_dedup_anchored(
     merge_strategy: str = "longest",
     anchor_w: int = 48,
     max_group_size: int | None = None,
+    max_group_bytes: int | None = None,
+    observation=None,
 ) -> SuffixDedupResult:
     """Scale path: winnowing-anchor CC grouping + exact per-group SA dedup.
 
     w + W - 1 == length_threshold, so every duplicated range the global pass
     would find is an anchor collision -> its docs share a group -> the
     per-group pass detects it. Output equals ``suffix_array_dedup`` with
-    ``num_buckets=1`` (tested), but each applyInPandas group holds only docs
-    with actual >=threshold content overlap."""
+    ``num_buckets=1`` (tested), and each applyInPandas group holds only docs
+    with actual >=threshold content overlap.
+
+    Pervasive-overlap guard: on corpora where long duplicated runs chain
+    most documents into one component (web boilerplate; measured: a 91 MB
+    zipf corpus percolates 78% of docs into a single 71 MB group — the
+    overlap is REAL, the reference's global pass would find it too), the
+    lossless grouping degrades to near-single-task. ``max_group_bytes``
+    splits any group whose text exceeds the cap into byte-bounded subgroups
+    (duplicates across subgroups are missed — the standard bounded-loss
+    tradeoff, like the SimHash bucket cap) and is OBSERVABLE: pass a
+    ``pyspark.sql.Observation`` to read ``n_groups_split`` /
+    ``n_rows_in_split_groups`` after an action. ``max_group_size`` is the
+    row-count analogue.
+
+    Split locality: oversized groups are range-partitioned by each doc's
+    MINIMUM anchor hash, not by doc-id hash — docs with near-identical
+    content select near-identical anchor sets and thus the same minimum, so
+    real duplicate clusters stay within one subgroup (measured on the 91 MB
+    percolated corpus: doc-id-hash splitting retains 39% of removable
+    bytes, min-anchor range splitting far more — see BENCH.md)."""
     from text_dedup_spark.operators.connected_components import connected_components
 
     if anchor_w >= length_threshold:
@@ -145,24 +166,51 @@ def suffix_array_dedup_anchored(
         )
         .withColumn("__grp__", F.coalesce(F.col("__grp__"), F.col(id_col)))
     )
-    if max_group_size is not None:
-        sizes = grouped.groupBy("__grp__").agg(F.count(F.lit(1)).alias("__gsz__"))
-        grouped = (
-            grouped.join(sizes, "__grp__")
-            .withColumn(
-                "__grp__",
-                F.when(
-                    F.col("__gsz__") > max_group_size,
-                    # observable split of oversized groups (lossy, reported)
-                    F.col("__grp__") + F.pmod(F.col(id_col), F.lit(257)) * F.lit(1 << 40),
-                ).otherwise(F.col("__grp__")),
-            )
-            .observe(
-                "anchor_groups",
-                F.sum((F.col("__gsz__") > max_group_size).cast("long")).alias("n_split_rows"),
-            )
-            .drop("__gsz__")
+    if max_group_size is not None or max_group_bytes is not None:
+        stats = grouped.groupBy("__grp__").agg(
+            F.count(F.lit(1)).alias("__gn__"),
+            F.sum(F.length(F.encode(F.col(text_col), "utf-8"))).alias("__gb__"),
         )
+        fac_rows = (
+            F.ceil(F.col("__gn__") / F.lit(max_group_size))
+            if max_group_size is not None
+            else F.lit(1)
+        )
+        fac_bytes = (
+            F.ceil(F.col("__gb__") / F.lit(max_group_bytes))
+            if max_group_bytes is not None
+            else F.lit(1)
+        )
+        stats = stats.withColumn(
+            "__fac__", F.greatest(fac_rows.cast("int"), fac_bytes.cast("int"), F.lit(1))
+        )
+        if observation is not None:
+            stats = stats.observe(
+                observation,
+                F.sum((F.col("__fac__") > 1).cast("long")).alias("n_groups_split"),
+                F.sum(F.when(F.col("__fac__") > 1, F.col("__gn__")).otherwise(0)).alias(
+                    "n_rows_in_split_groups"
+                ),
+            )
+        from pyspark.sql import Window
+
+        min_anchor = postings.groupBy(id_col).agg(F.min("anchor").alias("__ma__"))
+        w = Window.partitionBy("__grp__").orderBy("__ma__", id_col)
+        grouped = (
+            grouped.join(stats.select("__grp__", "__fac__", "__gn__"), "__grp__")
+            .join(min_anchor, id_col, "left")
+            .withColumn(
+                "__salt__",
+                F.when(F.col("__fac__") <= 1, F.lit(0)).otherwise(
+                    F.floor(
+                        (F.row_number().over(w) - 1) * F.col("__fac__") / F.col("__gn__")
+                    ).cast("int")
+                ),
+            )
+            .drop("__fac__", "__gn__", "__ma__")
+        )
+    else:
+        grouped = grouped.withColumn("__salt__", F.lit(0))
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
         from text_dedup_spark.kernels.intervals import clean_up, restore_and_merge
@@ -185,8 +233,10 @@ def suffix_array_dedup_anchored(
         ]
         return pd.DataFrame({id_col: pdf[id_col].values, text_col: cleaned})
 
-    rewritten = grouped.select("__grp__", id_col, text_col).groupBy("__grp__").applyInPandas(
-        process, schema=f"{id_col} long, {text_col} string"
+    rewritten = (
+        grouped.select("__grp__", "__salt__", id_col, text_col)
+        .groupBy("__grp__", "__salt__")
+        .applyInPandas(process, schema=f"{id_col} long, {text_col} string")
     )
     # materialize the rewritten text (same size class as the input; this is
     # the stage-checkpoint of the pipeline design), then release the caches
@@ -204,9 +254,11 @@ def suffix_array_dedup_auto(
     id_col: str = INDEX_COL,
     length_threshold: int = 100,
     merge_strategy: str = "longest",
-    global_bytes_threshold: int = 256 << 20,
+    global_bytes_threshold: int = 32 << 20,
     anchor_w: int = 48,
     max_group_size: int | None = None,
+    max_group_bytes: int | None = None,
+    observation=None,
 ) -> SuffixDedupResult:
     """Size-based physical planning (the broadcast-threshold idiom): corpora
     whose total UTF-8 bytes fit one comfortable in-memory suffix-array task
@@ -214,7 +266,11 @@ def suffix_array_dedup_auto(
     winnowing-anchored path whose per-group work is bounded by actual
     content overlap. Both produce identical output (tested); the crossover
     exists because the anchored path spends ~6 extra Spark stages, which
-    dominates below a few hundred MB and is noise above it."""
+    dominates at small corpus sizes. The 32 MB default keeps the global
+    task under ~2 min even on pathologically repetitive bytes (the numpy SA
+    kernel sustains ~0.25 MB/s there, ~1 MB/s on typical text). At true
+    scale combine with ``max_group_bytes`` (see the anchored docstring's
+    measured recall/latency tradeoff)."""
     total = df.select(
         F.sum(F.length(F.encode(F.col(text_col), "utf-8"))).alias("b")
     ).first()["b"] or 0
@@ -234,4 +290,6 @@ def suffix_array_dedup_auto(
         merge_strategy=merge_strategy,
         anchor_w=anchor_w,
         max_group_size=max_group_size,
+        max_group_bytes=max_group_bytes,
+        observation=observation,
     )

@@ -110,11 +110,13 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
     # "scale" profile pins the skew guards when unset (config.py docstring)
     max_bucket_size = algo.max_bucket_size
     max_cluster_verify = algo.max_cluster_verify
+    max_group_bytes = None
     if algo.profile == "scale":
         max_bucket_size = 10_000 if max_bucket_size is None else max_bucket_size
         max_cluster_verify = (
             1_000 if max_cluster_verify is None else max_cluster_verify
         )
+        max_group_bytes = 64 << 20  # bound per-task suffix-array corpora
     t0 = time.time()
 
     runner = None
@@ -222,6 +224,7 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
                 text_col=algo.text_column,
                 length_threshold=algo.length_threshold,
                 merge_strategy=algo.merge_strategy,
+                max_group_bytes=max_group_bytes,
             ).docs
 
         rewritten = stage("assigned", {"cfg": cfg_dict, "stage": "assigned"}, build_rewritten)
