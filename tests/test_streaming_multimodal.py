@@ -190,6 +190,48 @@ class TestStreamingDedup:
                 for r in incremental_minhash_batch(spark, df2, kernel, store).collect()}
         assert out2 == {12: 10}
 
+    def test_reconcile_heals_divergence_to_batch_exact(self, spark, tmp_path):
+        """reconcile_band_store recovers EXACT batch clustering from the
+        incremental store: intra-batch misses and cross-batch non-merges
+        both heal, labels match minhash_dedup on the union of batches."""
+        from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+        from text_dedup_spark.operators.minhash import minhash_dedup
+        from text_dedup_spark.streaming.dedup_stream import (
+            incremental_minhash_batch,
+            reconcile_band_store,
+        )
+
+        kernel = MinHashKernel(num_perm=32, ngram_size=2, min_length=3, threshold=0.5)
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        other = "an entirely different second document with its own words inside"
+        batches = [
+            [(0, base), (1, base + " tail")],  # intra-batch near-dups: missed
+            [(2, other), (3, "noise text unrelated to both earlier documents")],
+            [(4, other + " x"), (5, base)],
+        ]
+        store = str(tmp_path / "bands3")
+        incr = {}
+        for rows in batches:
+            df = spark.createDataFrame(rows, "__INDEX__ long, text string")
+            out = incremental_minhash_batch(spark, df, kernel, store)
+            incr.update({r["__INDEX__"]: r["cluster_id"] for r in out.collect()})
+        assert incr[1] == 1  # the documented intra-batch miss
+
+        remap = {
+            r["cluster_id"]: r["exact_cluster_id"]
+            for r in reconcile_band_store(spark, store).collect()
+        }
+        healed = {i: remap[c] for i, c in incr.items()}
+
+        union = spark.createDataFrame(
+            [r for rows in batches for r in rows], "__INDEX__ long, text string"
+        )
+        batch_exact = {
+            r["__INDEX__"]: r["__CLUSTER__"]
+            for r in minhash_dedup(union, kernel).docs.collect()
+        }
+        assert healed == batch_exact
+
     def test_first_batch_requires_no_store_but_bad_store_raises(self, spark, tmp_path):
         """The first-batch path is an existence check, not a swallowed
         exception: a corrupt store directory must fail loudly."""

@@ -67,8 +67,11 @@ def incremental_minhash_batch(
       granularity is the dedup horizon.
     - *Any-band-collision match* equals the batch LSH candidate rule
       (band-equality), but without the optional Jaccard FP re-check.
-    Replaying all batches through the batch pipeline remains the exact
-    path; this operator is the O(batch x bands) incremental approximation."""
+    Both gaps are healed on demand by ``reconcile_band_store`` (below),
+    which recovers the exact batch clustering from the accumulated store
+    (tested equal to ``minhash_dedup`` on the union of batches); this
+    operator is the O(batch x bands) incremental approximation between
+    compactions."""
     with_bands = batch_df.withColumn(
         "__BANDS__", _bands_udf(kernel)(F.col(text_col))
     ).where(F.col("__BANDS__").isNotNull())
@@ -114,3 +117,47 @@ def incremental_minhash_batch(
         "__band_idx__", "__band_val__", "cluster_id"
     ).write.mode("append").parquet(band_store_dir)
     return assigned
+
+
+def reconcile_band_store(spark: SparkSession, band_store_dir: str) -> DataFrame:
+    """Periodic compaction: recompute EXACT batch-equivalent clustering over
+    everything the store has seen, healing the incremental path's two
+    documented gaps (no cross-batch CC merges, no intra-batch clustering).
+
+    The store holds (band_idx, band_val, cluster_id) per posting, where
+    cluster_id is the incremental assignment. Band-value collisions are the
+    batch LSH candidate rule, so star edges over the stored postings +
+    connected components reproduce exactly the clusters the batch pipeline
+    would assign to the union of all batches (minus the min-length filter
+    already applied at fingerprint time). Returns (cluster_id,
+    exact_cluster_id) — a remap of incremental ids to batch-exact min-id
+    labels; apply it to any downstream table with a broadcast join. Run it
+    on whatever cadence staleness allows (the standard streaming-LSH
+    compaction pattern)."""
+    from text_dedup_spark.operators.connected_components import connected_components
+
+    store = spark.read.parquet(band_store_dir)
+    # one representative row per (band, incremental cluster): collisions
+    # between clusters are what the incremental path could not merge
+    posts = store.select(
+        "__band_idx__", "__band_val__", F.col("cluster_id").alias("id")
+    ).dropDuplicates()
+    roots = (
+        posts.groupBy("__band_idx__", "__band_val__")
+        .agg(F.min("id").alias("__root__"), F.count(F.lit(1)).alias("__cnt__"))
+        .where(F.col("__cnt__") > 1)
+    )
+    edges = (
+        posts.join(roots, ["__band_idx__", "__band_val__"])
+        .where(F.col("id") != F.col("__root__"))
+        .select(F.col("__root__").alias("src"), F.col("id").alias("dst"))
+    )
+    mapping = connected_components(edges)
+    ids = posts.select("id").distinct()
+    return (
+        ids.join(mapping, "id", "left")
+        .select(
+            F.col("id").alias("cluster_id"),
+            F.coalesce(F.col("cluster"), F.col("id")).alias("exact_cluster_id"),
+        )
+    )
