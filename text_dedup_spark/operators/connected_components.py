@@ -69,7 +69,13 @@ def connected_components(
                 "cluster": np.fromiter(clusters.values(), dtype=np.int64, count=len(clusters)),
             }
         )
-        return spark.createDataFrame(pdf)
+        mapping = spark.createDataFrame(pdf)
+        # the mapping is joined back against the full corpus (assignment,
+        # J3); when it fits an executor comfortably, a broadcast hint saves
+        # shuffling the corpus — the dominant cost of the assignment stage
+        if len(pdf) <= 2_000_000:
+            mapping = F.broadcast(mapping)
+        return mapping
 
     e = base.localCheckpoint()
     base.unpersist()
