@@ -10,7 +10,11 @@ No-oracle waivers (rows-only driver check; exact parity lives in pytest):
 - minhash_dedup / minhash_dedup_verified / simhash_dedup: the signatures are
   XXH3-based (reference hashfunc semantics); DuckDB has no XXH3, so no SQL
   oracle can reproduce them. tests/test_spark_dedup.py pins exact cluster
-  parity vs single-node reference-semantics oracles instead.
+  parity vs single-node reference-semantics oracles instead — AND the same
+  operator chain IS hard-oracled end to end by ``minhash_dedup_md5`` (md5
+  base hash == DuckDB md5_number_upper%2^32; permutation arithmetic, LSH
+  banding and connected components replayed in SQL), so only the base-hash
+  choice remains waivered, not the pipeline.
 - ann_lsh_topk: approximate by design (random-hyperplane sketches from
   numpy RandomState); tests/test_similarity.py pins recall@k >= 0.9 vs the
   oracle-green brute_force_topk plus bucket-cap accounting.
@@ -289,6 +293,104 @@ def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_common(spark, sf_dir, check_fp=True)
 
 
+_MD5_MINHASH = dict(
+    num_perm=16, bands=4, rows=4, ngram_size=2, min_length=5, seed=42
+)
+
+
+def q_minhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH+CC pipeline, HARD-oracled end to end.
+
+    Same operator chain as minhash_dedup (fingerprint UDF -> band star
+    edges -> connected components -> assignment) but with the md5 base hash
+    (kernels.hashfunc.md5_hash), whose convention equals DuckDB's
+    ``md5_number_upper % 2^32`` — so the ENTIRE pipeline (tokenize,
+    2-gram shingles, 16 permutations with the kernel's exact uint64
+    wraparound arithmetic, 4x4 banding, star edges, min-label CC) is
+    replayed in SQL by the oracle, permutation constants inlined from the
+    same seeded RandomState. The xxh3 flagship stays reference-faithful
+    (and waivered); this query closes the oracle gap for the pipeline
+    SHAPE."""
+    from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+    from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL
+    from text_dedup_spark.operators.minhash import minhash_dedup
+
+    kernel = MinHashKernel(hash_func_name="md5", threshold=0.5, **_MD5_MINHASH)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    res = minhash_dedup(
+        _docs(spark, sf_dir),
+        kernel,
+        id_col="doc_id",
+        check_false_positive=False,
+        repartition_input=n_parts,
+    )
+    return res.docs.select(
+        F.col("doc_id"),
+        F.col(CLUSTER_COL).alias("cluster_id"),
+        F.col(DUPLICATE_COL).cast("int").alias("is_dup"),
+    )
+
+
+def _md5_minhash_oracle_sql() -> str:
+    """DuckDB replay of q_minhash_dedup_md5, permutation constants inlined
+    from the identical seeded RandomState."""
+    from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+
+    k = MinHashKernel(hash_func_name="md5", threshold=0.5, **_MD5_MINHASH)
+    perms = ",\n              ".join(
+        f"({j}, {int(a)}, {int(b)})" for j, (a, b) in enumerate(zip(k.a, k.b))
+    )
+    p, maxh, wrap = 2305843009213693951, 4294967296, 18446744073709551616
+    return f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            docs2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 5),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS gs
+              FROM docs2),
+            shingle AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            hashed AS (
+              SELECT doc_id,
+                     CAST(md5_number_upper(g) AS HUGEINT) % {maxh} AS h
+              FROM shingle),
+            perms(j, a, b) AS (VALUES
+              {perms}),
+            phv AS (
+              SELECT doc_id, perms.j,
+                     min((((h * perms.a) % {wrap} + perms.b) % {wrap})
+                         % {p} % {maxh}) AS mh
+              FROM hashed, perms GROUP BY doc_id, perms.j),
+            bandvals AS (
+              SELECT doc_id, CAST(j // 4 AS INT) AS band_idx,
+                     CAST(min(CASE WHEN j % 4 = 0 THEN mh END) AS BIGINT) AS m0,
+                     CAST(min(CASE WHEN j % 4 = 1 THEN mh END) AS BIGINT) AS m1,
+                     CAST(min(CASE WHEN j % 4 = 2 THEN mh END) AS BIGINT) AS m2,
+                     CAST(min(CASE WHEN j % 4 = 3 THEN mh END) AS BIGINT) AS m3
+              FROM phv GROUP BY doc_id, j // 4),
+            bgroups AS (
+              SELECT band_idx, m0, m1, m2, m3, min(doc_id) AS root, count(*) AS c
+              FROM bandvals GROUP BY band_idx, m0, m1, m2, m3),
+            sel AS (
+              SELECT DISTINCT b.doc_id AS d, g.root AS r
+              FROM bandvals b JOIN bgroups g USING (band_idx, m0, m1, m2, m3)
+              WHERE g.c > 1 AND b.doc_id <> g.root),
+            edges AS (SELECT r AS s, d FROM sel UNION ALL SELECT d AS s, r AS d FROM sel),
+            reach(id, lab) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id WHERE r.lab < e.d),
+            cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+            SELECT d2.doc_id,
+                   CAST(COALESCE(cc.cluster, d2.doc_id) AS BIGINT) AS cluster_id,
+                   CAST(cc.id IS NOT NULL AS INT) AS is_dup
+            FROM docs2 d2 LEFT JOIN cc ON cc.id = d2.doc_id
+        """
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-bucket clustering (reference simhash.py; F9-F12, J4)."""
     from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
@@ -368,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_verified": q_minhash_dedup_verified,
+        "minhash_dedup_md5": q_minhash_dedup_md5,
         "simhash_dedup": q_simhash_dedup,
         "suffix_dedup": q_suffix_dedup,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -379,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_dedup_md5": _md5_minhash_oracle_sql(),
         "exact_dedup_groups": """
             SELECT md5(text) AS text_md5,
                    min(doc_id) AS first_doc_id,

@@ -104,6 +104,22 @@ class TestXXH3:
 
 
 class TestHashFunc:
+    def test_md5_hash_goldens_and_duckdb_equivalence(self):
+        import duckdb
+
+        from text_dedup_spark.kernels.hashfunc import md5_hash
+
+        assert md5_hash(b"abc", 32) == 2555380112
+        assert md5_hash(b"abc", 64) == 12704604231530709392
+        # the convention that makes minhash_dedup_md5 SQL-oracle-able:
+        # md5_hash(x, 32) == duckdb md5_number_upper(x) % 2^32
+        con = duckdb.connect()
+        for probe in (b"abc", b"hello world", b"tok1 tok2"):
+            duck = con.execute(
+                "SELECT CAST(md5_number_upper(?) AS HUGEINT) % 4294967296", [probe.decode()]
+            ).fetchone()[0]
+            assert md5_hash(probe, 32) == int(duck)
+
     def test_sha1_hash_goldens(self):
         # reference utils/hashfunc.py:80-87 doctests
         assert sha1_hash(b"hello world", 32) == 896314922

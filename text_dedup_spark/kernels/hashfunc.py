@@ -52,6 +52,28 @@ def sha1_hash(data: bytes, d: int = 32) -> int:
     )
 
 
+def md5_hash(data: bytes, d: int = 32) -> int:
+    """d-bit little-endian integer prefix of MD5 (same convention as
+    ``sha1_hash``). Chosen as the cross-engine-checkable base hash: DuckDB's
+    ``md5_number_upper`` is the first 8 digest bytes little-endian, so
+    ``md5_hash(x, 32) == md5_number_upper(x) % 2**32`` — which is what makes
+    a full MinHash+LSH+CC pipeline SQL-oracle-able (see __spark_entry__
+    ``minhash_dedup_md5``).
+
+    >>> md5_hash(b"abc", 32)
+    2555380112
+    >>> md5_hash(b"abc", 64)
+    12704604231530709392
+    """
+    if d == 32:
+        return int(struct.unpack("<I", md5(data, usedforsecurity=False).digest()[:4])[0])
+    if d == 64:
+        return int(struct.unpack("<Q", md5(data, usedforsecurity=False).digest()[:8])[0])
+    return int.from_bytes(
+        md5(data, usedforsecurity=False).digest()[: d // 8], byteorder="little"
+    )
+
+
 def xxh3_hash(data: bytes, seed: int = 0, bits: int = 32) -> int:
     """xxh3 with the reference's bit-width conventions (``hashfunc.py:96-105``)."""
     if bits == 32:

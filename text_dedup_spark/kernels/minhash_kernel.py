@@ -79,7 +79,7 @@ class MinHashKernel:
     min_length: int = 5
     threshold: float = 0.5
     hash_bits: int = 64
-    hash_func_name: str = "xxh3"  # "xxh3" | "sha1"
+    hash_func_name: str = "xxh3"  # "xxh3" | "sha1" | "md5"
     seed: int = 42
     bands: int | None = None
     rows: int | None = None
@@ -109,6 +109,10 @@ class MinHashKernel:
     def base_hash(self, data: bytes) -> int:
         if self.hash_func_name == "sha1":
             return sha1_hash(data, d=min(self.hash_bits, 32))
+        if self.hash_func_name == "md5":
+            from text_dedup_spark.kernels.hashfunc import md5_hash
+
+            return md5_hash(data, d=min(self.hash_bits, 32))
         return xxh3_hash(data, seed=self.seed, bits=min(self.hash_bits, 32))
 
     def shingles(self, content: str) -> set[bytes]:
