@@ -22,10 +22,12 @@ BENCH_QUERIES = [
     "exact_dedup_groups",
     "token_stats",
     "lang_marker_profile",
+    "quality_score",
     "ngram_jaccard_pairs",
     "ann_lsh_topk",
     "minhash_dedup",
     "minhash_dedup_verified",
+    "minhash_dedup_md5",
     "simhash_dedup",
     "suffix_dedup",
     "embedding_dedup",
