@@ -174,6 +174,26 @@ class TestSimHashDedup:
             assert expected_parents.get(idx, idx) == c, f"doc {idx}"
 
 
+class TestSimHash128:
+    def test_f128_matches_oracle(self, spark, corpus, pages_df):
+        """f=128 exercises the two-long fingerprint path (sig_hi + sig_lo;
+        Hamming = bit_count(lo1^lo2) + bit_count(hi1^hi2))."""
+        kernel = SimHashKernel(f=128, bit_diff=4, num_bucket=8, ngram_size=3, min_length=5)
+        texts = list(corpus.pages["text"])
+        expected_parents, expected_kept = simhash_oracle(
+            texts, kernel, check_false_positive=False, jaccard_threshold=0.5
+        )
+        res = simhash_dedup(pages_df, kernel)
+        got_kept = sorted(r[INDEX_COL] for r in res.kept.select(INDEX_COL).collect())
+        assert got_kept == expected_kept
+        got_clusters = {
+            r[INDEX_COL]: r[CLUSTER_COL]
+            for r in res.docs.select(INDEX_COL, CLUSTER_COL).collect()
+        }
+        for idx, c in got_clusters.items():
+            assert expected_parents.get(idx, idx) == c, f"doc {idx}"
+
+
 class TestFPVerifyCap:
     def test_max_cluster_verify_bypasses_big_clusters(self, spark, corpus, pages_df):
         """With a cap of 2, clusters >2 skip pairwise verification and keep

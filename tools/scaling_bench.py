@@ -40,7 +40,10 @@ from text_dedup_spark.operators.ids import INDEX_COL
 
 cpus = {cpus}
 spark = get_spark("scaling", master=f"local[{cpus}]",
-                  conf={{"spark.sql.shuffle.partitions": str(max(cpus, 8))}})
+                  conf={{"spark.sql.shuffle.partitions": str(max(cpus, 8)),
+                         # local mode: one JVM holds all executors; size the
+                         # heap like a real worker fleet would be sized
+                         "spark.driver.memory": "48g"}})
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet("{data}/pages")
 n = df.count()
@@ -60,9 +63,14 @@ spark.stop()
 
 
 def ensure_corpus(n_docs: int) -> None:
-    marker = DATA / f"pages_{n_docs}.ok"
-    if marker.exists():
+    # single current-size marker: per-size .ok markers accumulated while the
+    # pages/ dir only ever holds ONE corpus, so a rerun at a previous size
+    # silently read the wrong data
+    marker = DATA / "pages_current_size"
+    if marker.exists() and marker.read_text().strip() == str(n_docs):
         return
+    for stale in DATA.glob("pages_*.ok"):
+        stale.unlink()
     print(f"# generating {n_docs} synthetic web pages...", file=sys.stderr)
     sys.path.insert(0, str(REPO))
     import numpy as np
@@ -84,7 +92,7 @@ def ensure_corpus(n_docs: int) -> None:
     rows_per = (len(pages) + n_files - 1) // n_files
     for i in range(n_files):
         pq.write_table(tbl.slice(i * rows_per, rows_per), DATA / "pages" / f"part-{i:03d}.parquet")
-    marker.write_text("ok")
+    marker.write_text(str(n_docs))
 
 
 def run_at(cpus: int) -> dict:
