@@ -129,3 +129,51 @@ class TestJaccardProperties:
         assert 0.0 <= j <= 1.0
         assert j == jaccard_similarity(b, a)
         assert jaccard_similarity(a, a) == 1.0
+
+
+class TestSuffixArrayProperties:
+    """Property pins for the SA/LCP kernel across alphabet entropies —
+    low-entropy inputs stress the doubling tie classes and the width-7
+    packed start; the brute-force comparisons are the ground truth."""
+
+    @given(st.binary(min_size=0, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_sa_is_sorted_suffixes(self, data):
+        from text_dedup_spark.kernels.suffix_array_kernel import build_suffix_array
+
+        sa = list(build_suffix_array(data))
+        assert sa == sorted(range(len(data)), key=lambda i: data[i:])
+
+    @given(st.text(alphabet="ab", min_size=0, max_size=300).map(str.encode))
+    @settings(max_examples=60, deadline=None)
+    def test_low_entropy_lcp_matches_bruteforce(self, data):
+        from text_dedup_spark.kernels.suffix_array_kernel import suffix_and_lcp_arrays
+
+        sa, lcp = suffix_and_lcp_arrays(data)
+        n = len(data)
+        for r in range(1, n):
+            a, b = data[sa[r - 1]:], data[sa[r]:]
+            expect = 0
+            while expect < min(len(a), len(b)) and a[expect] == b[expect]:
+                expect += 1
+            assert lcp[r] == expect, (r, sa[r - 1], sa[r])
+
+    @given(st.binary(min_size=1, max_size=200), st.integers(2, 40))
+    @settings(max_examples=40, deadline=None)
+    def test_duplicate_ranges_cover_exactly_duplicated_windows(self, data, k):
+        """Coverage union == union of all duplicated k-windows (the identity
+        the driver's suffix oracle relies on)."""
+        from collections import Counter
+
+        from text_dedup_spark.kernels.suffix_array_kernel import duplicate_byte_ranges
+
+        n = len(data)
+        counts = Counter(data[i : i + k] for i in range(n - k + 1))
+        expected = set()
+        for i in range(n - k + 1):
+            if counts[data[i : i + k]] > 1:
+                expected.update(range(i, i + k))
+        got = set()
+        for s in duplicate_byte_ranges(data, k):
+            got.update(range(s.start, s.stop))
+        assert got == expected
