@@ -94,11 +94,38 @@ class TestBenchmarkConfigsRun:
 
 class TestHfSource:
     def test_read_roundtrip(self, spark, hf_corpus_dir):
-        from text_dedup_spark.sources.hf_dataset import read_hf_dataset_dir
+        from text_dedup_spark.sources.hf_dataset import HF_ROW_COL, read_hf_dataset_dir
 
         df = read_hf_dataset_dir(spark, hf_corpus_dir)
         assert df.count() == 200
-        assert df.columns == ["text"]
+        assert df.columns == ["text", HF_ROW_COL]
+        assert read_hf_dataset_dir(
+            spark, hf_corpus_dir, with_row_index=False
+        ).columns == ["text"]
+
+    def test_row_index_is_on_disk_order(self, spark, hf_corpus_dir):
+        """__hf_row__ must equal the HF on-disk position even though the
+        shard tasks are hash-partitioned (the order-scrambling this column
+        exists to fix): reading back in __hf_row__ order reproduces the
+        exact sequence that was written across 3 shards."""
+        import pyarrow as pa
+
+        from text_dedup_spark.sources.hf_dataset import (
+            HF_ROW_COL,
+            _shard_files,
+            read_hf_dataset_dir,
+        )
+
+        written = []
+        for f in _shard_files(hf_corpus_dir):
+            with pa.memory_map(f) as src:
+                for batch in pa.ipc.open_stream(src):
+                    written.extend(batch.to_pandas()["text"].tolist())
+        df = read_hf_dataset_dir(spark, hf_corpus_dir)
+        got = [
+            r["text"] for r in df.orderBy(HF_ROW_COL).select("text").collect()
+        ]
+        assert got == written
 
     def test_dataset_dict_layout(self, spark, hf_corpus_dir, tmp_path):
         root = tmp_path / "dictds"
@@ -139,6 +166,8 @@ class TestHfSource:
         from text_dedup_spark.config import Config, InputConfig
         from text_dedup_spark.pipeline import read_input
 
+        from text_dedup_spark.sources.hf_dataset import HF_ROW_COL
+
         def rows(split):
             cfg = Config(
                 input=InputConfig(
@@ -146,7 +175,8 @@ class TestHfSource:
                     read_arguments={"dataset_path": hf_corpus_dir, "split": split},
                 )
             )
-            return [r["text"] for r in read_input(spark, cfg).collect()]
+            df = read_input(spark, cfg).orderBy(HF_ROW_COL)
+            return [r["text"] for r in df.collect()]
 
         small, big = rows("train[:20]"), rows("train[:60]")
         assert big[:20] == small

@@ -193,7 +193,9 @@ class TestStreamingDedup:
     def test_reconcile_heals_divergence_to_batch_exact(self, spark, tmp_path):
         """reconcile_band_store recovers EXACT batch clustering from the
         incremental store: intra-batch misses and cross-batch non-merges
-        both heal, labels match minhash_dedup on the union of batches."""
+        both heal, labels match minhash_dedup on the union of batches —
+        including when doc ids are NOT monotone with arrival order (a later
+        batch carries the component's minimum id)."""
         from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
         from text_dedup_spark.operators.minhash import minhash_dedup
         from text_dedup_spark.streaming.dedup_stream import (
@@ -205,9 +207,10 @@ class TestStreamingDedup:
         base = "the quick brown fox jumps over the lazy dog again and again today"
         other = "an entirely different second document with its own words inside"
         batches = [
-            [(0, base), (1, base + " tail")],  # intra-batch near-dups: missed
-            [(2, other), (3, "noise text unrelated to both earlier documents")],
-            [(4, other + " x"), (5, base)],
+            [(9, base), (11, base + " tail")],  # intra-batch near-dups: missed
+            [(7, other), (13, "noise text unrelated to both earlier documents")],
+            # doc 3 arrives LAST but is the true min id of the base cluster
+            [(5, other + " x"), (3, base)],
         ]
         store = str(tmp_path / "bands3")
         incr = {}
@@ -215,13 +218,13 @@ class TestStreamingDedup:
             df = spark.createDataFrame(rows, "__INDEX__ long, text string")
             out = incremental_minhash_batch(spark, df, kernel, store)
             incr.update({r["__INDEX__"]: r["cluster_id"] for r in out.collect()})
-        assert incr[1] == 1  # the documented intra-batch miss
+        assert incr[11] == 11  # the documented intra-batch miss
+        assert incr[3] == 9  # incremental: late min-id doc joins the old root
 
-        remap = {
-            r["cluster_id"]: r["exact_cluster_id"]
+        healed = {
+            r["doc_id"]: r["exact_cluster_id"]
             for r in reconcile_band_store(spark, store).collect()
         }
-        healed = {i: remap[c] for i, c in incr.items()}
 
         union = spark.createDataFrame(
             [r for rows in batches for r in rows], "__INDEX__ long, text string"
@@ -231,6 +234,7 @@ class TestStreamingDedup:
             for r in minhash_dedup(union, kernel).docs.collect()
         }
         assert healed == batch_exact
+        assert healed[9] == 3  # min-id label despite doc 3 arriving last
 
     def test_first_batch_requires_no_store_but_bad_store_raises(self, spark, tmp_path):
         """The first-batch path is an existence check, not a swallowed

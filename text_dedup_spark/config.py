@@ -116,9 +116,16 @@ def load_config(path: str) -> Config:
     with open(path, "rb") as f:
         raw = tomllib.load(f)
     raw.pop("debug", None)  # reference-only section
-    return Config(
+    cfg = Config(
         input=_fill(InputConfig, raw.get("input", {})),
         algorithm=_fill(AlgorithmConfig, raw.get("algorithm", {})),
         output=_fill(OutputConfig, raw.get("output", {})),
         spark=_fill(SparkConfig, raw.get("spark", {})),
     )
+    # value validation (a typo like profile="Scale" silently running with
+    # all skew guards off would defeat the profile's purpose)
+    if cfg.algorithm.profile not in ("parity", "scale"):
+        raise ValueError(
+            f"algorithm.profile must be 'parity' or 'scale', got {cfg.algorithm.profile!r}"
+        )
+    return cfg

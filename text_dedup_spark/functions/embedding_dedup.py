@@ -29,6 +29,7 @@ def cosine_edges(
     vec_col: str = "embedding",
     scale: int = 1000,
     n_blocks: int | None = None,
+    n_rows: int | None = None,
     target_block_rows: int = 50_000,
     gemm_chunk_rows: int = 2048,
 ) -> DataFrame:
@@ -55,7 +56,9 @@ def cosine_edges(
 
     spark = emb.sparkSession
     if n_blocks is None:
-        n_total = emb.count()
+        # pass n_rows when the caller already knows the count — the sizing
+        # count otherwise recomputes the upstream lineage once
+        n_total = emb.count() if n_rows is None else n_rows
         n_blocks = max(8, math.ceil(n_total / max(1, target_block_rows)))
     q = emb.select(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q")
@@ -123,9 +126,10 @@ def embedding_cosine_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Returns (vec_id, cluster_id, is_dup) with min-id cluster labels."""
-    edges = cosine_edges(emb, threshold, id_col, vec_col)
+    edges = cosine_edges(emb, threshold, id_col, vec_col, n_rows=n_rows)
     mapping = connected_components(edges)
     m = mapping.select(F.col("id").alias(id_col), F.col("cluster").alias("__C__"))
     return (

@@ -23,10 +23,18 @@ def jaccard_pairs_prefix(
     threshold: float,
     id_col: str = "doc_id",
     grams_col: str = "grams",
+    eager: bool = True,
 ) -> DataFrame:
     """grams_df: (id, array<string> distinct grams). Returns
     (a_id, b_id, inter_size, union_size) for pairs with
-    inter/union >= threshold — byte-identical to the naive all-pairs join."""
+    inter/union >= threshold — byte-identical to the naive all-pairs join.
+
+    ``eager=True`` (default) materializes the qualifying pairs via
+    localCheckpoint and releases the cached gram arrays immediately — right
+    when the threshold keeps the output near-linear (the operator's intended
+    regime) and callers consume the result. ``eager=False`` keeps the plan
+    lazy for composition (e.g. a downstream ``.limit``) at the cost of the
+    gram cache staying pinned until the session drops it."""
     # persisted: consumed by the postings index AND both sides of the
     # verification join — without it the gram arrays are recomputed 3x
     sized = (
@@ -86,8 +94,9 @@ def jaccard_pairs_prefix(
     # materialize (the qualifying-pair output is small by construction:
     # near-dup pairs only), then release the cached gram arrays — a long
     # session would otherwise accumulate one pinned `sized` per call
-    result = result.localCheckpoint(eager=True)
-    sized.unpersist()
+    if eager:
+        result = result.localCheckpoint(eager=True)
+        sized.unpersist()
     return result
 
 

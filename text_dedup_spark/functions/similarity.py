@@ -98,14 +98,15 @@ def lsh_bucketed_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int = 2000,
+    max_bucket_size: int | None = None,
     observation=None,
 ) -> DataFrame:
     """Approximate top-k: candidates share a sign-sketch bucket in >=1 of
     ``n_tables`` hyperplane tables; exact quantized-dot rerank inside
     buckets. Output schema matches ``brute_force_topk``.
 
-    Skew guard: hot buckets (all-boilerplate embeddings hash together, and
+    Skew guard (default OFF, matching the repo's parity-by-default rule for
+    caps): hot buckets (all-boilerplate embeddings hash together, and
     within-bucket pair generation is quadratic) above ``max_bucket_size``
     are dropped from pair generation — observably, never silently: pass a
     ``pyspark.sql.Observation`` as ``observation`` to read
@@ -139,25 +140,40 @@ def lsh_bucketed_topk(
         return pd.Series(list(codes))
 
     sketched = q.select("vec_id", "q", sketch_udf(F.col("v")).alias("sketches"))
+    # persisted: consumed by the bucket-size aggregation (when capped) and
+    # both sides of the bucket self-join — without it the sketch GEMM UDF
+    # recomputes per consumer; released after the (small, <= n*k rows)
+    # result materializes
     tagged = sketched.select(
         "vec_id", "q", F.posexplode("sketches").alias("table_id", "bucket")
-    )
-    sizes = tagged.groupBy("table_id", "bucket").agg(
-        F.count(F.lit(1)).alias("__bsz__")
-    )
-    flagged = sizes.withColumn("__drop__", F.col("__bsz__") > max_bucket_size)
-    if observation is not None:
-        flagged = flagged.observe(
-            observation,
-            F.sum(F.col("__drop__").cast("long")).alias("n_buckets_dropped"),
-            F.sum(F.when(F.col("__drop__"), F.col("__bsz__")).otherwise(0)).alias(
-                "n_postings_dropped"
-            ),
+    ).persist()
+    if max_bucket_size is not None:
+        sizes = tagged.groupBy("table_id", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz__")
         )
-    kept = flagged.where(~F.col("__drop__")).select("table_id", "bucket")
-    tagged = tagged.join(kept, ["table_id", "bucket"])
-    a = tagged.select("table_id", "bucket", F.col("vec_id"), F.col("q").alias("qa"))
-    b = tagged.select(
+        flagged = sizes.withColumn("__drop__", F.col("__bsz__") > max_bucket_size)
+        if observation is not None:
+            flagged = flagged.observe(
+                observation,
+                F.sum(F.col("__drop__").cast("long")).alias("n_buckets_dropped"),
+                F.sum(F.when(F.col("__drop__"), F.col("__bsz__")).otherwise(0)).alias(
+                    "n_postings_dropped"
+                ),
+            )
+        kept = flagged.where(~F.col("__drop__")).select("table_id", "bucket")
+        pruned = tagged.join(kept, ["table_id", "bucket"])
+    elif observation is not None:
+        # uncapped but observed: report zero drops so callers can rely on
+        # the metrics existing either way
+        pruned = tagged.observe(
+            observation,
+            F.sum(F.lit(0)).alias("n_buckets_dropped"),
+            F.sum(F.lit(0)).alias("n_postings_dropped"),
+        )
+    else:
+        pruned = tagged
+    a = pruned.select("table_id", "bucket", F.col("vec_id"), F.col("q").alias("qa"))
+    b = pruned.select(
         "table_id",
         "bucket",
         F.col("vec_id").alias("neighbor_id"),
@@ -173,8 +189,11 @@ def lsh_bucketed_topk(
         "vec_id", "neighbor_id", int_dot(F.col("qa"), F.col("qb")).alias("dot")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "dot", "rank")
     )
+    result = result.localCheckpoint(eager=True)
+    tagged.unpersist()
+    return result

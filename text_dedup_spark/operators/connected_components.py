@@ -71,9 +71,26 @@ def connected_components(
         )
         mapping = spark.createDataFrame(pdf)
         # the mapping is joined back against the full corpus (assignment,
-        # J3); when it fits an executor comfortably, a broadcast hint saves
-        # shuffling the corpus — the dominant cost of the assignment stage
-        if len(pdf) <= 2_000_000:
+        # J3); when it fits under the session's broadcast threshold a hint
+        # saves shuffling the corpus — the dominant cost of the assignment
+        # stage. Gate on estimated BYTES (16B/row) against the session's own
+        # autoBroadcastJoinThreshold, like Spark's planner, so small-executor
+        # deployments are never forced into an oversized broadcast build.
+        try:
+            s = str(
+                spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            ).strip().lower()
+            for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                                 ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                                 ("b", 1)):
+                if s.endswith(suffix):
+                    threshold = int(s[: -len(suffix)]) * mult
+                    break
+            else:
+                threshold = int(s)
+        except ValueError:
+            threshold = 10 << 20
+        if threshold > 0 and len(pdf) * 16 <= threshold:
             mapping = F.broadcast(mapping)
         return mapping
 

@@ -106,11 +106,13 @@ def suffix_array_dedup_anchored(
     overlap is REAL, the reference's global pass would find it too), the
     lossless grouping degrades to near-single-task. ``max_group_bytes``
     splits any group whose text exceeds the cap into byte-bounded subgroups
+    — each holds at most the cap plus one straddling document (cumulative
+    byte step function along the split order, not an equal-count split) —
     (duplicates across subgroups are missed — the standard bounded-loss
     tradeoff, like the SimHash bucket cap) and is OBSERVABLE: pass a
     ``pyspark.sql.Observation`` to read ``n_groups_split`` /
     ``n_rows_in_split_groups`` after an action. ``max_group_size`` is the
-    row-count analogue.
+    row-count analogue (both caps compose).
 
     Split locality: oversized groups are range-partitioned by each doc's
     MINIMUM anchor hash, not by doc-id hash — docs with near-identical
@@ -167,48 +169,57 @@ def suffix_array_dedup_anchored(
         .withColumn("__grp__", F.coalesce(F.col("__grp__"), F.col(id_col)))
     )
     if max_group_size is not None or max_group_bytes is not None:
-        stats = grouped.groupBy("__grp__").agg(
-            F.count(F.lit(1)).alias("__gn__"),
-            F.sum(F.length(F.encode(F.col(text_col), "utf-8"))).alias("__gb__"),
+        from pyspark.sql import Window
+
+        # the salt is computed over NARROW columns (id, min anchor, byte
+        # length) and joined back, so the giant group's text never ships
+        # through a single window task
+        min_anchor = postings.groupBy(id_col).agg(F.min("anchor").alias("__ma__"))
+        narrow = grouped.select(
+            "__grp__",
+            F.col(id_col),
+            F.length(F.encode(F.col(text_col), "utf-8")).alias("__db__"),
+        ).join(min_anchor, id_col, "left")
+        w = Window.partitionBy("__grp__").orderBy("__ma__", F.col(id_col))
+        prev_bytes = F.coalesce(
+            F.sum("__db__").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
         )
-        fac_rows = (
-            F.ceil(F.col("__gn__") / F.lit(max_group_size))
-            if max_group_size is not None
-            else F.lit(1)
-        )
-        fac_bytes = (
-            F.ceil(F.col("__gb__") / F.lit(max_group_bytes))
+        prev_rows = F.row_number().over(w) - 1
+        # cumulative step functions: a subgroup is a run where BOTH steps are
+        # constant, so it holds <= max_group_size rows AND <= max_group_bytes
+        # (+ the one straddling document) of text
+        sb = (
+            F.floor(prev_bytes / F.lit(max_group_bytes))
             if max_group_bytes is not None
-            else F.lit(1)
+            else F.lit(0)
         )
-        stats = stats.withColumn(
-            "__fac__", F.greatest(fac_rows.cast("int"), fac_bytes.cast("int"), F.lit(1))
+        sr = (
+            F.floor(prev_rows / F.lit(max_group_size))
+            if max_group_size is not None
+            else F.lit(0)
+        )
+        salt_df = narrow.select(
+            "__grp__",
+            F.col(id_col),
+            (sb * F.lit(1_000_000) + sr).cast("long").alias("__salt__"),
+        )
+        gstats = salt_df.groupBy("__grp__").agg(
+            F.count_distinct("__salt__").alias("__ns__"),
+            F.count(F.lit(1)).alias("__gn__"),
         )
         if observation is not None:
-            stats = stats.observe(
+            gstats = gstats.observe(
                 observation,
-                F.sum((F.col("__fac__") > 1).cast("long")).alias("n_groups_split"),
-                F.sum(F.when(F.col("__fac__") > 1, F.col("__gn__")).otherwise(0)).alias(
+                F.sum((F.col("__ns__") > 1).cast("long")).alias("n_groups_split"),
+                F.sum(F.when(F.col("__ns__") > 1, F.col("__gn__")).otherwise(0)).alias(
                     "n_rows_in_split_groups"
                 ),
             )
-        from pyspark.sql import Window
-
-        min_anchor = postings.groupBy(id_col).agg(F.min("anchor").alias("__ma__"))
-        w = Window.partitionBy("__grp__").orderBy("__ma__", id_col)
-        grouped = (
-            grouped.join(stats.select("__grp__", "__fac__", "__gn__"), "__grp__")
-            .join(min_anchor, id_col, "left")
-            .withColumn(
-                "__salt__",
-                F.when(F.col("__fac__") <= 1, F.lit(0)).otherwise(
-                    F.floor(
-                        (F.row_number().over(w) - 1) * F.col("__fac__") / F.col("__gn__")
-                    ).cast("int")
-                ),
-            )
-            .drop("__fac__", "__gn__", "__ma__")
-        )
+        # the gstats join keeps the observed aggregation in the executed plan
+        grouped = grouped.join(
+            salt_df.select(F.col(id_col), "__salt__"), id_col
+        ).join(gstats.select("__grp__"), "__grp__")
     else:
         grouped = grouped.withColumn("__salt__", F.lit(0))
 

@@ -29,12 +29,22 @@ def read_input(spark: SparkSession, config: Config) -> DataFrame:
         # reference io.py:31-45 (load_from_disk); read_arguments carries
         # dataset_path (and optionally keep_in_memory, which has no Spark
         # meaning — executors stream the shards)
-        from text_dedup_spark.sources.hf_dataset import read_hf_dataset_dir
+        from text_dedup_spark.sources.hf_dataset import HF_ROW_COL, read_hf_dataset_dir
 
         path = args.pop("dataset_path")
         args.pop("keep_in_memory", None)
         df = read_hf_dataset_dir(spark, path, split)
-        return _apply_split(df, split)
+        # slice on the explicit HF row position (hash-partitioned shard
+        # tasks scramble physical order, so limit/offset would pick
+        # arbitrary rows; the row column carries on-disk order exactly)
+        bounds = _split_bounds(df, split)
+        if bounds is not None:
+            a, b = bounds
+            cond = F.col(HF_ROW_COL) >= a
+            if b is not None:
+                cond = cond & (F.col(HF_ROW_COL) < b)
+            df = df.where(cond)
+        return df
     path = args.pop("path")
     reader = spark.read.options(**{k: str(v) for k, v in args.items()})
     ft = config.input.file_type
@@ -49,13 +59,13 @@ def read_input(spark: SparkSession, config: Config) -> DataFrame:
     return _apply_split(df, split)
 
 
-def _apply_split(df: DataFrame, split: str | None) -> DataFrame:
-    """HF-style split slicing (reference S2; e.g. ``train[:10%]``,
-    ``train[100:200]``, ``train[5%:15%]``): deterministic row-range slices
-    via limit/offset over the load order. Percent bounds use floor
-    (``total * p // 100``). Negative indices are not supported (raise)."""
+def _split_bounds(df: DataFrame, split: str | None) -> tuple[int, int | None] | None:
+    """Parse HF split-slice bounds (``train[:10%]``, ``train[100:200]``,
+    ``train[5%:15%]``) into a [a, b) row range. Percent bounds use floor
+    (``total * p // 100``). Negative indices are not supported (raise).
+    Returns None when the split carries no slice."""
     if not split or "[" not in split:
-        return df
+        return None
     import re as _re
 
     m = _re.search(r"\[\s*(\d+%?)?\s*:\s*(\d+%?)?\s*\]", split)
@@ -73,8 +83,16 @@ def _apply_split(df: DataFrame, split: str | None) -> DataFrame:
             return total * int(tok[:-1]) // 100
         return int(tok)
 
-    a = resolve(m.group(1)) or 0
-    b = resolve(m.group(2))
+    return resolve(m.group(1)) or 0, resolve(m.group(2))
+
+
+def _apply_split(df: DataFrame, split: str | None) -> DataFrame:
+    """Row-range slice via limit/offset over the load order (parquet/csv/
+    json sources, whose file-listing order is stable)."""
+    bounds = _split_bounds(df, split)
+    if bounds is None:
+        return df
+    a, b = bounds
     out = df if b is None else df.limit(b)
     return out.offset(a) if a else out
 
@@ -83,10 +101,23 @@ def _with_ids(df: DataFrame, config: Config) -> DataFrame:
     algo = config.algorithm
     if algo.index_column:
         return df.withColumn(INDEX_COL, F.col(algo.index_column).cast("long"))
-    # load-order ordinal (reference io.py:39-44): row_number over the
-    # physical order captured by monotonically_increasing_id
     from pyspark.sql import Window
 
+    from text_dedup_spark.sources.hf_dataset import HF_ROW_COL
+
+    if HF_ROW_COL in df.columns:
+        # HF source: the explicit on-disk row position IS the load order
+        # (re-numbered densely so a sliced split starts at 0, as the
+        # reference's post-slice ds.map with_indices does)
+        return (
+            df.withColumn(
+                INDEX_COL,
+                F.row_number().over(Window.orderBy(HF_ROW_COL)) - F.lit(1).cast("long"),
+            )
+            .drop(HF_ROW_COL)
+        )
+    # load-order ordinal (reference io.py:39-44): row_number over the
+    # physical order captured by monotonically_increasing_id
     return (
         df.withColumn("__ord__", F.monotonically_increasing_id())
         .withColumn(

@@ -48,39 +48,80 @@ def _shard_files(split_dir: str) -> list[str]:
     return files
 
 
+HF_ROW_COL = "__hf_row__"
+
+
+def _shard_row_counts(files: list[str]) -> list[int]:
+    """Per-shard row counts from the IPC record-batch headers (driver-side,
+    one mmap pass per shard; save_to_disk dirs are single-node artifacts so
+    this stays cheap at their scale)."""
+    import pyarrow as pa
+
+    counts = []
+    for f in files:
+        n = 0
+        with pa.memory_map(f) as source:
+            reader = pa.ipc.open_stream(source)
+            for batch in reader:
+                n += batch.num_rows
+        counts.append(n)
+    return counts
+
+
 def read_hf_dataset_dir(
-    spark: SparkSession, path: str, split: str | None = None
+    spark: SparkSession,
+    path: str,
+    split: str | None = None,
+    with_row_index: bool = True,
 ) -> DataFrame:
     """Distributed read of an HF ``save_to_disk`` directory.
 
-    Row order is the HF on-disk order (shard order, then batch order within
-    a shard) as far as each shard's task preserves it; load-order index
-    assignment happens downstream exactly as for the parquet source."""
+    A hash repartition gives one task per shard, which scrambles partition
+    order — so HF on-disk row order is carried EXPLICITLY: shard offsets are
+    computed on the driver and each task emits ``__hf_row__`` (global 0..n-1
+    position, exactly HF's row index). Split slicing and load-order index
+    assignment key off that column; pass ``with_row_index=False`` to drop
+    it when order is irrelevant."""
     import pyarrow as pa
+    from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import LongType, StructField
 
     split_dir = _resolve_split_dir(path, split)
     files = _shard_files(split_dir)
 
     with pa.memory_map(files[0]) as source:
         arrow_schema = pa.ipc.open_stream(source).schema
-    spark_schema = from_arrow_schema(arrow_schema)
+    base_schema = from_arrow_schema(arrow_schema)
+    out_schema = base_schema.add(StructField(HF_ROW_COL, LongType()))
+
+    counts = _shard_row_counts(files)
+    offsets = []
+    acc = 0
+    for c in counts:
+        offsets.append(acc)
+        acc += c
 
     fdf = spark.createDataFrame(
-        [(f,) for f in files], "shard_path string"
+        [(f, o) for f, o in zip(files, offsets)], "shard_path string, row_offset long"
     ).repartition(len(files), "shard_path")
 
     def decode(batches):
         import pandas as pd  # noqa: F401
 
         for pdf in batches:
-            for shard in pdf["shard_path"]:
+            for shard, offset in zip(pdf["shard_path"], pdf["row_offset"]):
+                pos = int(offset)
                 with pa.memory_map(shard) as source:
                     reader = pa.ipc.open_stream(source)
                     for batch in reader:
-                        yield batch.to_pandas()
+                        out = batch.to_pandas()
+                        out[HF_ROW_COL] = range(pos, pos + len(out))
+                        pos += len(out)
+                        yield out
 
-    return fdf.mapInPandas(decode, schema=spark_schema)
+    df = fdf.mapInPandas(decode, schema=out_schema)
+    return df if with_row_index else df.drop(HF_ROW_COL)
 
 
 def write_hf_dataset_dir(df, path: str, shards: int | None = None) -> None:

@@ -24,6 +24,20 @@ from text_dedup_spark.operators.ids import INDEX_COL
 from text_dedup_spark.operators.minhash import _bands_udf, _explode_bands
 
 
+def _store_has_data(spark: SparkSession, band_store_dir: str) -> bool:
+    """True when the band store exists and holds at least one parquet part
+    — via the Hadoop FileSystem for the path's scheme (local, hdfs, s3a,
+    ...), not the driver's local FS."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(band_store_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    glob = jvm.org.apache.hadoop.fs.Path(band_store_dir + "/*.parquet")
+    statuses = fs.globStatus(glob)
+    return statuses is not None and len(statuses) > 0
+
+
 def exact_dedup_stream(
     stream: DataFrame,
     text_col: str = "text",
@@ -81,13 +95,10 @@ def incremental_minhash_batch(
     if id_col != INDEX_COL:
         bands = bands.withColumnRenamed(INDEX_COL, id_col)
     # explicit existence check (not a bare except: a corrupt store or a
-    # wrong path must fail loudly, only a genuinely-first batch may skip)
-    import glob
-    import os
-
-    store_has_data = os.path.isdir(band_store_dir) and bool(
-        glob.glob(os.path.join(band_store_dir, "*.parquet"))
-    )
+    # wrong path must fail loudly, only a genuinely-first batch may skip).
+    # Uses the Hadoop FileSystem API so hdfs://, s3a://, dbfs:/ stores work
+    # the same as local paths.
+    store_has_data = _store_has_data(spark, band_store_dir)
     if store_has_data:
         store = spark.read.parquet(band_store_dir)
         matches = (
@@ -114,7 +125,7 @@ def incremental_minhash_batch(
         .select(id_col, "cluster_id")
     )
     bands.join(assigned, id_col).select(
-        "__band_idx__", "__band_val__", "cluster_id"
+        F.col(id_col).alias("__doc_id__"), "__band_idx__", "__band_val__", "cluster_id"
     ).write.mode("append").parquet(band_store_dir)
     return assigned
 
@@ -124,23 +135,20 @@ def reconcile_band_store(spark: SparkSession, band_store_dir: str) -> DataFrame:
     everything the store has seen, healing the incremental path's two
     documented gaps (no cross-batch CC merges, no intra-batch clustering).
 
-    The store holds (band_idx, band_val, cluster_id) per posting, where
-    cluster_id is the incremental assignment. Band-value collisions are the
-    batch LSH candidate rule, so star edges over the stored postings +
-    connected components reproduce exactly the clusters the batch pipeline
-    would assign to the union of all batches (minus the min-length filter
-    already applied at fingerprint time). Returns (cluster_id,
-    exact_cluster_id) — a remap of incremental ids to batch-exact min-id
-    labels; apply it to any downstream table with a broadcast join. Run it
-    on whatever cadence staleness allows (the standard streaming-LSH
-    compaction pattern)."""
+    The store holds (doc_id, band_idx, band_val, cluster_id) per posting.
+    Band-value collisions are the batch LSH candidate rule, so DOC-level
+    star edges over the stored postings + connected components reproduce
+    exactly the clusters (min-doc-id labels, no arrival-order assumption)
+    the batch pipeline would assign to the union of all batches (minus the
+    min-length filter already applied at fingerprint time) — pinned equal
+    to ``minhash_dedup`` in tests. Returns per-doc
+    (doc_id, exact_cluster_id, is_dup). Run it on whatever cadence
+    staleness allows (the standard streaming-LSH compaction pattern)."""
     from text_dedup_spark.operators.connected_components import connected_components
 
     store = spark.read.parquet(band_store_dir)
-    # one representative row per (band, incremental cluster): collisions
-    # between clusters are what the incremental path could not merge
     posts = store.select(
-        "__band_idx__", "__band_val__", F.col("cluster_id").alias("id")
+        F.col("__doc_id__").alias("id"), "__band_idx__", "__band_val__"
     ).dropDuplicates()
     roots = (
         posts.groupBy("__band_idx__", "__band_val__")
@@ -157,7 +165,8 @@ def reconcile_band_store(spark: SparkSession, band_store_dir: str) -> DataFrame:
     return (
         ids.join(mapping, "id", "left")
         .select(
-            F.col("id").alias("cluster_id"),
+            F.col("id").alias("doc_id"),
             F.coalesce(F.col("cluster"), F.col("id")).alias("exact_cluster_id"),
+            F.col("cluster").isNotNull().cast("int").alias("is_dup"),
         )
     )
