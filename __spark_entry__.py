@@ -15,9 +15,10 @@ No-oracle waivers (rows-only driver check; exact parity lives in pytest):
   base hash == DuckDB md5_number_upper%2^32; permutation arithmetic, LSH
   banding and connected components replayed in SQL), so only the base-hash
   choice remains waivered, not the pipeline.
-- ann_lsh_topk: approximate by design (random-hyperplane sketches from
-  numpy RandomState); tests/test_similarity.py pins recall@k >= 0.9 vs the
-  oracle-green brute_force_topk plus bucket-cap accounting.
+- ann_lsh_topk / ann_ivf_topk: approximate by design (random-hyperplane
+  sketches / k-means inverted lists from numpy RandomState);
+  tests/test_similarity.py pins recall@k >= 0.9 vs the oracle-green
+  brute_force_topk for both, plus bucket-cap accounting.
 
 Column-type discipline for hash-stable oracle comparison: every emitted
 column is int/bigint/string — no raw floats (reduction-order hazards), no
@@ -70,6 +71,7 @@ def q_exact_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-stat components (text analysis ops)."""
     from text_dedup_spark.functions.text_stats import (
+        bpe_token_count,
         digit_count,
         distinct_token_count,
         max_token_len,
@@ -85,6 +87,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_token_len(t).cast("bigint").alias("max_token_len"),
         F.length(t).cast("bigint").alias("n_chars_calc"),
         digit_count(t).cast("bigint").alias("n_digits"),
+        bpe_token_count(t).cast("bigint").alias("n_bpe_tokens"),
     )
 
 
@@ -447,6 +450,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via IVF inverted lists (coarse-quantizer scale path;
+    recall pinned vs brute force in tests/test_similarity.py)."""
+    from text_dedup_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), k=3).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -474,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "suffix_dedup": q_suffix_dedup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessionize": q_events_sessionize,
         "events_minutely": q_events_minutely,
         "embedding_dedup": q_embedding_dedup,
@@ -500,7 +514,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
                    CAST(list_max(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS max_token_len,
                    CAST(len(text) AS BIGINT) AS n_chars_calc,
-                   CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+                   CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+')) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "quality_score": """

@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "quality_score",
     "ngram_jaccard_pairs",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "minhash_dedup",
     "minhash_dedup_verified",
     "minhash_dedup_md5",

@@ -69,6 +69,33 @@ class TestLshRecall:
             assert exact[(r["vec_id"], r["neighbor_id"])] == r["dot"]
 
 
+class TestIvfRecall:
+    def test_recall_at_3_vs_brute_force(self, spark, planted):
+        from text_dedup_spark.functions.similarity import ivf_topk
+
+        truth = _topk_map(brute_force_topk(planted, k=3))
+        approx = _topk_map(ivf_topk(planted, k=3, n_centroids=16, nprobe=4))
+        recalls = [
+            len(approx.get(vid, set()) & nbrs) / len(nbrs)
+            for vid, nbrs in truth.items()
+        ]
+        avg = sum(recalls) / len(recalls)
+        assert avg >= 0.9, f"IVF recall@3 {avg:.3f} below pinned floor 0.9"
+
+    def test_deterministic_and_exact_scores(self, spark, planted):
+        from text_dedup_spark.functions.similarity import ivf_topk
+
+        a = sorted(map(tuple, ivf_topk(planted, k=3).collect()))
+        b = sorted(map(tuple, ivf_topk(planted, k=3).collect()))
+        assert a == b
+        exact = {
+            (r["vec_id"], r["neighbor_id"]): r["dot"]
+            for r in brute_force_topk(planted, k=299).collect()
+        }
+        for vid, nid, dot, _rank in a:
+            assert exact[(vid, nid)] == dot
+
+
 class TestBucketCap:
     def test_cap_drops_observably(self, spark, planted):
         from pyspark.sql import Observation

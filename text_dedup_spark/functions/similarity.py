@@ -89,6 +89,95 @@ def sign_sketch(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 8,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path next to the sign-sketch LSH one:
+
+    1. spherical k-means on a deterministic driver sample (lowest ids,
+       bounded by ``sample_rows``; numpy, seeded) -> ``n_centroids`` unit
+       centroids, closed over by the executors (tiny broadcast);
+    2. every vector joins the inverted list of its nearest centroid (one
+       pandas-UDF GEMM per Arrow batch);
+    3. each query probes its ``nprobe`` nearest centroids' lists and
+       candidates are reranked with the exact quantized integer dot.
+
+    Output schema matches ``brute_force_topk``; recall is pinned vs it in
+    tests/test_similarity.py. At scale the shuffle is one equi-join keyed
+    by centroid id — list sizes are ~n/n_centroids, and n_centroids grows
+    with n (sqrt(n) rule of thumb) to bound per-list rerank work."""
+    import pandas as pd
+
+    sample_pdf = emb.orderBy(id_col).limit(sample_rows).select(vec_col).toPandas()
+    X = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    n_c = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=n_c, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_c):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 1e-12:
+                    C[c] = m / norm
+    n_probe = min(nprobe, n_c)
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # them and the locally-imported `pd` can't be resolved by pandas_udf's
+    # hint inference — the returnType argument alone determines the schema
+    @F.pandas_udf("array<int>")
+    def probe_udf(vecs):
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        quantize(F.col(vec_col)).alias("q"),
+        probe_udf(F.col(vec_col)).alias("probes"),
+    ).persist()
+    lists = q.select(
+        F.col("probes")[0].alias("cid"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+    )
+    queries = q.select(
+        F.explode("probes").alias("cid"), F.col("vec_id"), F.col("q").alias("qa")
+    )
+    cands = (
+        queries.join(lists, "cid")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "qa", "qb")
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "vec_id", "neighbor_id", int_dot(F.col("qa"), F.col("qb")).alias("dot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    result = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "dot", "rank")
+    )
+    result = result.localCheckpoint(eager=True)
+    q.unpersist()
+    return result
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     k: int = 3,

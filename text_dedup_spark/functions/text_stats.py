@@ -53,6 +53,18 @@ def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     )
 
 
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """GPT-2-flavoured pretokenizer count (task brief: token counting —
+    whitespace + a BPE-ish regex): contractions, letter runs, digit runs,
+    punctuation runs; whitespace separates but is not counted. Pure JVM
+    (regexp_count, whole-stage codegen); the pattern is RE2-compatible so
+    the DuckDB oracle counts identically."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
 def digit_count(text: Column) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
 
