@@ -99,6 +99,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path next to the sign-sketch LSH one:
@@ -117,21 +118,34 @@ def ivf_topk(
     with n (sqrt(n) rule of thumb) to bound per-list rerank work."""
     import pandas as pd
 
-    sample_pdf = emb.orderBy(id_col).limit(sample_rows).select(vec_col).toPandas()
-    X = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    n_c = min(n_centroids, len(X))
-    C = X[rng.choice(len(X), size=n_c, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(X @ C.T, axis=1)
-        for c in range(n_c):
-            members = X[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                norm = np.linalg.norm(m)
-                if norm > 1e-12:
-                    C[c] = m / norm
+    if centroids is not None:
+        # scale path: train once offline (or on a previous run) and pass the
+        # centroids in — skips the driver sample (whose orderBy+limit is a
+        # compat-scale convenience, not something to run on 10^12 rows)
+        C = np.asarray(centroids, dtype=np.float64)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        n_c = len(C)
+    else:
+        sample_pdf = emb.orderBy(id_col).limit(sample_rows).select(vec_col).toPandas()
+        X = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
+        if len(X) == 0:
+            spark = emb.sparkSession
+            return spark.createDataFrame(
+                [], "vec_id long, neighbor_id long, dot long, rank int"
+            )
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        rng = np.random.RandomState(seed)
+        n_c = min(n_centroids, len(X))
+        C = X[rng.choice(len(X), size=n_c, replace=False)]
+        for _ in range(kmeans_iters):
+            assign = np.argmax(X @ C.T, axis=1)
+            for c in range(n_c):
+                members = X[assign == c]
+                if len(members):
+                    m = members.sum(axis=0)
+                    norm = np.linalg.norm(m)
+                    if norm > 1e-12:
+                        C[c] = m / norm
     n_probe = min(nprobe, n_c)
 
     # no type annotations: `from __future__ import annotations` stringifies
