@@ -346,8 +346,13 @@ def _md5_minhash_oracle_sql() -> str:
     p, maxh, wrap = 2305843009213693951, 4294967296, 18446744073709551616
     return f"""
             WITH RECURSIVE toks AS (
+              -- regex \W split matches the kernel's tokenize() (Python
+              -- regex \W on lowered text); identical for ASCII corpora —
+              -- RE2's \W is ASCII-only, so non-ASCII word chars would
+              -- diverge (the driver tables are pure ASCII)
               SELECT doc_id,
-                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                     list_filter(regexp_split_to_array(lower(text), '\W'),
+                                 x -> x <> '') AS t
               FROM documents),
             docs2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 5),
             grams AS (
@@ -494,6 +499,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+
+def _bpe_pattern_sql() -> str:
+    """The BPE-ish pretokenizer pattern as a DuckDB string-literal body —
+    SINGLE SOURCE: text_stats.BPE_ISH_PATTERN (single quotes doubled)."""
+    from text_dedup_spark.functions.text_stats import BPE_ISH_PATTERN
+
+    return BPE_ISH_PATTERN.replace("'", "''")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "minhash_dedup_md5": _md5_minhash_oracle_sql(),
@@ -515,10 +529,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS max_token_len,
                    CAST(len(text) AS BIGINT) AS n_chars_calc,
                    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
-                   CAST(len(regexp_extract_all(text,
-                        '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+')) AS BIGINT) AS n_bpe_tokens
+                   CAST(len(regexp_extract_all(text, '{BPE_SQL}')) AS BIGINT) AS n_bpe_tokens
             FROM documents
-        """,
+        """.replace("{BPE_SQL}", _bpe_pattern_sql()),
         "quality_score": """
             WITH t AS (
               SELECT doc_id,

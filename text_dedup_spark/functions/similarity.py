@@ -129,10 +129,14 @@ def ivf_topk(
         sample_pdf = emb.orderBy(id_col).limit(sample_rows).select(vec_col).toPandas()
         X = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
         if len(X) == 0:
-            spark = emb.sparkSession
-            return spark.createDataFrame(
-                [], "vec_id long, neighbor_id long, dot long, rank int"
-            )
+            # derive the empty frame from the input so the id type matches
+            # the non-empty path's output exactly
+            return emb.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(0).cast("long").alias("dot"),
+                F.lit(0).cast("int").alias("rank"),
+            ).limit(0)
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         rng = np.random.RandomState(seed)
         n_c = min(n_centroids, len(X))
@@ -175,8 +179,10 @@ def ivf_topk(
     cands = (
         queries.join(lists, "cid")
         .where(F.col("vec_id") != F.col("neighbor_id"))
+        # no dedup needed: each neighbor lives in exactly ONE inverted list
+        # and a query's probed cids are distinct, so a (vec, neighbor) pair
+        # joins at most once — unlike the LSH path where tables overlap
         .select("vec_id", "neighbor_id", "qa", "qb")
-        .dropDuplicates(["vec_id", "neighbor_id"])
     )
     scored = cands.select(
         "vec_id", "neighbor_id", int_dot(F.col("qa"), F.col("qb")).alias("dot")
@@ -258,10 +264,13 @@ def lsh_bucketed_topk(
         if observation is not None:
             flagged = flagged.observe(
                 observation,
-                F.sum(F.col("__drop__").cast("long")).alias("n_buckets_dropped"),
-                F.sum(F.when(F.col("__drop__"), F.col("__bsz__")).otherwise(0)).alias(
-                    "n_postings_dropped"
+                F.coalesce(F.sum(F.col("__drop__").cast("long")), F.lit(0)).alias(
+                    "n_buckets_dropped"
                 ),
+                F.coalesce(
+                    F.sum(F.when(F.col("__drop__"), F.col("__bsz__")).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_postings_dropped"),
             )
         kept = flagged.where(~F.col("__drop__")).select("table_id", "bucket")
         pruned = tagged.join(kept, ["table_id", "bucket"])
@@ -270,8 +279,8 @@ def lsh_bucketed_topk(
         # the metrics existing either way
         pruned = tagged.observe(
             observation,
-            F.sum(F.lit(0)).alias("n_buckets_dropped"),
-            F.sum(F.lit(0)).alias("n_postings_dropped"),
+            F.coalesce(F.sum(F.lit(0)), F.lit(0)).alias("n_buckets_dropped"),
+            F.coalesce(F.sum(F.lit(0)), F.lit(0)).alias("n_postings_dropped"),
         )
     else:
         pruned = tagged

@@ -53,7 +53,11 @@ def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     )
 
 
-BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+"
+BPE_ISH_PATTERN = (
+    # explicit whitespace class: Java regex \s includes \x0b, RE2 does
+    # not — spelling it out keeps Spark and the DuckDB oracle identical
+    r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r\x0B']+"
+)
 
 
 def bpe_token_count(text: Column) -> Column:

@@ -199,29 +199,37 @@ def suffix_array_dedup_anchored(
             if max_group_size is not None
             else F.lit(0)
         )
+        # two separate salt columns (not an arithmetic encoding, which
+        # aliases when one step index overflows the other's multiplier)
         salt_df = narrow.select(
             "__grp__",
             F.col(id_col),
-            (sb * F.lit(1_000_000) + sr).cast("long").alias("__salt__"),
+            sb.cast("long").alias("__sb__"),
+            sr.cast("long").alias("__sr__"),
         )
         gstats = salt_df.groupBy("__grp__").agg(
-            F.count_distinct("__salt__").alias("__ns__"),
+            F.count_distinct("__sb__", "__sr__").alias("__ns__"),
             F.count(F.lit(1)).alias("__gn__"),
         )
         if observation is not None:
             gstats = gstats.observe(
                 observation,
-                F.sum((F.col("__ns__") > 1).cast("long")).alias("n_groups_split"),
-                F.sum(F.when(F.col("__ns__") > 1, F.col("__gn__")).otherwise(0)).alias(
-                    "n_rows_in_split_groups"
-                ),
+                F.coalesce(
+                    F.sum((F.col("__ns__") > 1).cast("long")), F.lit(0)
+                ).alias("n_groups_split"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__ns__") > 1, F.col("__gn__")).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_rows_in_split_groups"),
             )
         # the gstats join keeps the observed aggregation in the executed plan
         grouped = grouped.join(
-            salt_df.select(F.col(id_col), "__salt__"), id_col
+            salt_df.select(F.col(id_col), "__sb__", "__sr__"), id_col
         ).join(gstats.select("__grp__"), "__grp__")
     else:
-        grouped = grouped.withColumn("__salt__", F.lit(0))
+        grouped = grouped.withColumn("__sb__", F.lit(0)).withColumn(
+            "__sr__", F.lit(0)
+        )
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
         from text_dedup_spark.kernels.intervals import clean_up, restore_and_merge
@@ -245,8 +253,8 @@ def suffix_array_dedup_anchored(
         return pd.DataFrame({id_col: pdf[id_col].values, text_col: cleaned})
 
     rewritten = (
-        grouped.select("__grp__", "__salt__", id_col, text_col)
-        .groupBy("__grp__", "__salt__")
+        grouped.select("__grp__", "__sb__", "__sr__", id_col, text_col)
+        .groupBy("__grp__", "__sb__", "__sr__")
         .applyInPandas(process, schema=f"{id_col} long, {text_col} string")
     )
     # materialize the rewritten text (same size class as the input; this is

@@ -29,15 +29,22 @@ def read_input(spark: SparkSession, config: Config) -> DataFrame:
         # reference io.py:31-45 (load_from_disk); read_arguments carries
         # dataset_path (and optionally keep_in_memory, which has no Spark
         # meaning — executors stream the shards)
-        from text_dedup_spark.sources.hf_dataset import HF_ROW_COL, read_hf_dataset_dir
+        from text_dedup_spark.sources.hf_dataset import (
+            HF_ROW_COL,
+            hf_row_count,
+            read_hf_dataset_dir,
+        )
 
         path = args.pop("dataset_path")
         args.pop("keep_in_memory", None)
         df = read_hf_dataset_dir(spark, path, split)
         # slice on the explicit HF row position (hash-partitioned shard
         # tasks scramble physical order, so limit/offset would pick
-        # arbitrary rows; the row column carries on-disk order exactly)
-        bounds = _split_bounds(df, split)
+        # arbitrary rows; the row column carries on-disk order exactly).
+        # Percent bounds resolve from the IPC headers — metadata-only, no
+        # extra distributed decode.
+        total = hf_row_count(path, split) if split and "%" in split else None
+        bounds = _split_bounds(df, split, total=total)
         if bounds is not None:
             a, b = bounds
             cond = F.col(HF_ROW_COL) >= a
@@ -59,11 +66,15 @@ def read_input(spark: SparkSession, config: Config) -> DataFrame:
     return _apply_split(df, split)
 
 
-def _split_bounds(df: DataFrame, split: str | None) -> tuple[int, int | None] | None:
+def _split_bounds(
+    df: DataFrame, split: str | None, total: int | None = None
+) -> tuple[int, int | None] | None:
     """Parse HF split-slice bounds (``train[:10%]``, ``train[100:200]``,
     ``train[5%:15%]``) into a [a, b) row range. Percent bounds use floor
-    (``total * p // 100``). Negative indices are not supported (raise).
-    Returns None when the split carries no slice."""
+    (``total * p // 100``), with ``total`` taken from the caller when known
+    (HF sources resolve it from IPC headers) and counted otherwise.
+    Negative indices are not supported (raise). Returns None when the split
+    carries no slice."""
     if not split or "[" not in split:
         return None
     import re as _re
@@ -71,7 +82,6 @@ def _split_bounds(df: DataFrame, split: str | None) -> tuple[int, int | None] | 
     m = _re.search(r"\[\s*(\d+%?)?\s*:\s*(\d+%?)?\s*\]", split)
     if not m:
         raise ValueError(f"unsupported split expression: {split}")
-    total: int | None = None
 
     def resolve(tok: str | None) -> int | None:
         nonlocal total
@@ -98,12 +108,14 @@ def _apply_split(df: DataFrame, split: str | None) -> DataFrame:
 
 
 def _with_ids(df: DataFrame, config: Config) -> DataFrame:
+    from text_dedup_spark.sources.hf_dataset import HF_ROW_COL
+
     algo = config.algorithm
     if algo.index_column:
-        return df.withColumn(INDEX_COL, F.col(algo.index_column).cast("long"))
+        out = df.withColumn(INDEX_COL, F.col(algo.index_column).cast("long"))
+        # the HF row column is internal — never let it leak into outputs
+        return out.drop(HF_ROW_COL) if HF_ROW_COL in df.columns else out
     from pyspark.sql import Window
-
-    from text_dedup_spark.sources.hf_dataset import HF_ROW_COL
 
     if HF_ROW_COL in df.columns:
         # HF source: the explicit on-disk row position IS the load order

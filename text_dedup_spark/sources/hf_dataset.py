@@ -68,6 +68,12 @@ def _shard_row_counts(files: list[str]) -> list[int]:
     return counts
 
 
+def hf_row_count(path: str, split: str | None = None) -> int:
+    """Total row count of a save_to_disk dir from the IPC headers (driver-
+    side; no Spark job) — lets percent split slicing stay metadata-only."""
+    return sum(_shard_row_counts(_shard_files(_resolve_split_dir(path, split))))
+
+
 def read_hf_dataset_dir(
     spark: SparkSession,
     path: str,

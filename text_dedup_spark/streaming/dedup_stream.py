@@ -147,6 +147,12 @@ def reconcile_band_store(spark: SparkSession, band_store_dir: str) -> DataFrame:
     from text_dedup_spark.operators.connected_components import connected_components
 
     store = spark.read.parquet(band_store_dir)
+    if "__doc_id__" not in store.columns:
+        raise ValueError(
+            f"band store {band_store_dir} lacks the __doc_id__ column (written "
+            "by a pre-doc-id revision); re-ingest the batches — a mixed-schema "
+            "store would silently drop the old postings from reconciliation"
+        )
     posts = store.select(
         F.col("__doc_id__").alias("id"), "__band_idx__", "__band_val__"
     ).dropDuplicates()
