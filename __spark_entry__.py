@@ -10,11 +10,12 @@ No-oracle waivers (rows-only driver check; exact parity lives in pytest):
 - minhash_dedup / minhash_dedup_verified / simhash_dedup: the signatures are
   XXH3-based (reference hashfunc semantics); DuckDB has no XXH3, so no SQL
   oracle can reproduce them. tests/test_spark_dedup.py pins exact cluster
-  parity vs single-node reference-semantics oracles instead — AND the same
-  operator chain IS hard-oracled end to end by ``minhash_dedup_md5`` (md5
-  base hash == DuckDB md5_number_upper%2^32; permutation arithmetic, LSH
-  banding and connected components replayed in SQL), so only the base-hash
-  choice remains waivered, not the pipeline.
+  parity vs single-node reference-semantics oracles instead — AND both
+  pipeline shapes ARE hard-oracled end to end by ``minhash_dedup_md5`` and
+  ``simhash_dedup_md5`` (md5 base hash == DuckDB md5_number_upper;
+  permutation arithmetic, LSH banding/Hamming buckets and connected
+  components replayed in SQL), so only the base-hash choice remains
+  waivered, not the pipelines.
 - ann_lsh_topk / ann_ivf_topk: approximate by design (random-hyperplane
   sketches / k-means inverted lists from numpy RandomState);
   tests/test_similarity.py pins recall@k >= 0.9 vs the oracle-green
@@ -399,6 +400,125 @@ def _md5_minhash_oracle_sql() -> str:
         """
 
 
+_MD5_SIMHASH = dict(
+    f=64, bit_diff=3, num_bucket=4, ngram_size=2, min_length=5, seed=42
+)
+
+
+def q_simhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SimHash pipeline (bit-vote fingerprint -> permutation bucket
+    keys -> Hamming bucket join -> CC), HARD-oracled end to end.
+
+    Same operator chain as simhash_dedup but with the md5 base hash
+    (kernels.hashfunc.md5_hash at f=64 == DuckDB ``md5_number_upper``), so
+    the ENTIRE pipeline — tokenize, 2-gram shingles, per-bit majority vote,
+    P(b, b-k) permutation bucket keys (constants derived from the same
+    kernel), all-pairs-within-bucket Hamming <= bit_diff edges, min-label
+    CC — is replayed in SQL by the oracle. The xxh3 flagship
+    (simhash_dedup) stays reference-faithful and waivered; this closes the
+    oracle gap for the last pipeline family (reference semantics:
+    src/text_dedup/simhash.py:43-71, config/algorithms/simhash.py:222-380)."""
+    from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
+    from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL
+    from text_dedup_spark.operators.simhash import simhash_dedup
+
+    kernel = SimHashKernel(hash_func_name="md5", **_MD5_SIMHASH)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    res = simhash_dedup(
+        _docs(spark, sf_dir), kernel, id_col="doc_id", repartition_input=n_parts
+    )
+    return res.docs.select(
+        F.col("doc_id"),
+        F.col(CLUSTER_COL).alias("cluster_id"),
+        F.col(DUPLICATE_COL).cast("int").alias("is_dup"),
+    )
+
+
+def _md5_simhash_oracle_sql() -> str:
+    """DuckDB replay of q_simhash_dedup_md5. Permutation bucket keys are
+    derived from the kernel itself: for each permutation, the bucket key is
+    ``permute(sig) & search_mask`` == sum over the leading (b - bit_diff)
+    blocks of ``((sig >> (f-end)) % 2^width) * 2^(f-end+offset)`` (asserted
+    equal to Permutation.permute in tests/test_spark_dedup.py). Docs with
+    fewer than min_length tokens get the all-zero fingerprint (reference
+    simhash.py:363-365) and thus cluster together — replayed identically."""
+    from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
+
+    k = SimHashKernel(hash_func_name="md5", **_MD5_SIMHASH)
+    f, bk = k.f, k.num_bucket - k.bit_diff
+    key_selects = []
+    for p in k.perms:
+        terms = []
+        for mask, off in zip(p.masks[:bk], p.offsets[:bk]):
+            shift = f - mask.end + off
+            terms.append(
+                f"((sig // CAST('{1 << (f - mask.end)}' AS HUGEINT)) "
+                f"% {1 << mask.width}) * CAST('{1 << shift}' AS HUGEINT)"
+            )
+        key_selects.append(
+            f"SELECT doc_id, CAST('{p.search_mask}' AS HUGEINT) AS mask,\n"
+            f"                     {' + '.join(terms)} AS keyval FROM sig"
+        )
+    keys_cte = "\n              UNION ALL\n              ".join(key_selects)
+    bit_vals = ",".join(f"({j}, CAST('{1 << j}' AS HUGEINT))" for j in range(f))
+    return f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS gs
+              FROM toks WHERE len(t) >= {k.min_length}),
+            shingle AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            hashed AS (
+              SELECT doc_id, CAST(md5_number_upper(g) AS HUGEINT) AS h
+              FROM shingle),
+            bitidx(j, p) AS (VALUES {bit_vals}),
+            -- per-bit majority vote: bit set iff ones*2 > n (reference
+            -- compute(): sum(2*bit - 1) > 0)
+            votes AS (
+              SELECT doc_id, j,
+                     CASE WHEN 2 * sum((h // p) % 2) > count(*)
+                          THEN 1 ELSE 0 END AS bit
+              FROM hashed CROSS JOIN bitidx GROUP BY doc_id, j),
+            voted AS (
+              SELECT doc_id, CAST(sum(bit * p) AS HUGEINT) AS sig
+              FROM votes JOIN bitidx USING (j) GROUP BY doc_id),
+            -- short docs (< min_length tokens) carry the all-zero sig
+            sig AS (
+              SELECT d.doc_id, COALESCE(v.sig, CAST(0 AS HUGEINT)) AS sig
+              FROM documents d LEFT JOIN voted v ON v.doc_id = d.doc_id),
+            keys AS (
+              {keys_cte}),
+            -- Hamming over 32-bit halves (BIGINT xor + bit_count)
+            halves AS (
+              SELECT doc_id, keys.mask, keys.keyval,
+                     CAST(sig // 4294967296 AS BIGINT) AS hi,
+                     CAST(sig % 4294967296 AS BIGINT) AS lo
+              FROM keys JOIN sig USING (doc_id)),
+            sel AS (
+              SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+              FROM halves a JOIN halves b
+                ON a.mask = b.mask AND a.keyval = b.keyval
+               AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                    <= {k.bit_diff}),
+            edges AS (SELECT s, d FROM sel UNION ALL SELECT d AS s, s AS d FROM sel),
+            reach(id, lab) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id WHERE r.lab < e.d),
+            cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(cc.cluster, d.doc_id) AS BIGINT) AS cluster_id,
+                   CAST(cc.id IS NOT NULL AS INT) AS is_dup
+            FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+        """
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-bucket clustering (reference simhash.py; F9-F12, J4)."""
     from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
@@ -490,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_verified": q_minhash_dedup_verified,
         "minhash_dedup_md5": q_minhash_dedup_md5,
         "simhash_dedup": q_simhash_dedup,
+        "simhash_dedup_md5": q_simhash_dedup_md5,
         "suffix_dedup": q_suffix_dedup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -511,6 +632,7 @@ def _bpe_pattern_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "minhash_dedup_md5": _md5_minhash_oracle_sql(),
+        "simhash_dedup_md5": _md5_simhash_oracle_sql(),
         "exact_dedup_groups": """
             SELECT md5(text) AS text_md5,
                    min(doc_id) AS first_doc_id,
@@ -632,10 +754,14 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
         """,
+        # Outer CAST matters: DuckDB sum(BIGINT) returns HUGEINT (int128),
+        # which a dataframe-style fetch coerces to float64 — the driver
+        # normalizer then prints 5.01327e+09 vs Spark's exact 5013269739.
+        # Casting the aggregate back to BIGINT keeps the fetch int-typed.
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,

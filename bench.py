@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "minhash_dedup_verified",
     "minhash_dedup_md5",
     "simhash_dedup",
+    "simhash_dedup_md5",
     "suffix_dedup",
     "embedding_dedup",
     "events_sessionize",

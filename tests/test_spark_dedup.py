@@ -263,3 +263,59 @@ class TestReferenceBenchmarkConfigs:
         }
         for idx, c in got.items():
             assert expected_parents.get(idx, idx) == c
+
+
+class TestMd5SimHashOracleIdentities:
+    """Pin the two identities the simhash_dedup_md5 SQL oracle builds on
+    (see __spark_entry__._md5_simhash_oracle_sql)."""
+
+    def test_permutation_key_arithmetic(self):
+        # permute(x) & search_mask == sum over the leading (b-k) blocks of
+        # ((x >> (f-end)) % 2^width) * 2^(f-end+offset) — the form the
+        # oracle emits as HUGEINT div/mod arithmetic
+        rng = np.random.RandomState(7)
+        for num_bucket, bit_diff in [(4, 3), (4, 2), (5, 3), (8, 6)]:
+            k = SimHashKernel(
+                f=64, bit_diff=bit_diff, num_bucket=num_bucket,
+                ngram_size=2, min_length=5, hash_func_name="md5",
+            )
+            bk = k.num_bucket - k.bit_diff
+            xs = [int(x) for x in rng.randint(0, 2**63, size=50)] + [0, 2**64 - 1]
+            for p in k.perms:
+                for x in xs:
+                    key = 0
+                    for mask, off in zip(p.masks[:bk], p.offsets[:bk]):
+                        shift = k.f - mask.end + off
+                        assert shift >= 0
+                        key += ((x >> (k.f - mask.end)) % (1 << mask.width)) * (1 << shift)
+                    assert key == (p.permute(x) & p.search_mask)
+
+    def test_md5_hash64_equals_duckdb_md5_number_upper(self):
+        import duckdb
+
+        from text_dedup_spark.kernels.hashfunc import md5_hash
+
+        con = duckdb.connect()
+        for s in ["hello world", "tok1 tok2", "a b", "", "the quick brown fox"]:
+            got = con.execute("SELECT md5_number_upper(?)", [s]).fetchone()[0]
+            assert int(got) == md5_hash(s.encode("utf-8"), 64)
+
+    def test_md5_fingerprint_matches_manual_vote(self):
+        # kernel.fingerprint(md5) == per-bit majority vote over
+        # md5_number_upper-convention shingle hashes (the oracle's votes CTE)
+        from text_dedup_spark.kernels.hashfunc import md5_hash
+        from text_dedup_spark.kernels.tokenization import shingles
+
+        k = SimHashKernel(
+            f=64, bit_diff=3, num_bucket=4, ngram_size=2, min_length=5,
+            hash_func_name="md5",
+        )
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        hs = [md5_hash(g, 64) for g in shingles(text, 2, 5)]
+        sig = 0
+        for j in range(64):
+            ones = sum((h >> j) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                sig |= 1 << j
+        assert k.fingerprint(text) == sig
+        assert k.fingerprint("too short") == 0

@@ -136,6 +136,11 @@ class SimHashKernel:
     ngram_size: int = 3
     min_length: int = 5
     seed: int = 42
+    # "xxh3" is the reference's base hash; "md5" (seedless little-endian
+    # digest prefix, hashfunc.md5_hash) equals DuckDB's md5_number_upper at
+    # f=64, which makes the full SimHash pipeline SQL-oracle-able (see
+    # __spark_entry__ simhash_dedup_md5) — same trick as minhash_dedup_md5
+    hash_func_name: str = "xxh3"
     perms: list[Permutation] = field(init=False, repr=False)
 
     def __post_init__(self) -> None:
@@ -173,6 +178,10 @@ class SimHashKernel:
         tokens = self.shingles(content)
         if not tokens:
             return 0
+        if self.hash_func_name == "md5":
+            from text_dedup_spark.kernels.hashfunc import md5_hash
+
+            return compute([md5_hash(t, self.f) for t in tokens], self.f)
         if self.f == 64:
             # vectorized batch hash (byte-identical to scalar xxh3) + vote
             from text_dedup_spark.kernels.xxh3_vec import xxh3_64_batch

@@ -118,9 +118,12 @@ def simhash_edges(
         if observation is not None:
             flagged = flagged.observe(
                 observation,
-                F.sum(F.col("__drop__").cast("long")).alias("n_buckets_dropped"),
-                F.sum(
-                    F.when(F.col("__drop__"), F.col("__bsz__")).otherwise(0)
+                F.coalesce(F.sum(F.col("__drop__").cast("long")), F.lit(0)).alias(
+                    "n_buckets_dropped"
+                ),
+                F.coalesce(
+                    F.sum(F.when(F.col("__drop__"), F.col("__bsz__")).otherwise(0)),
+                    F.lit(0),
                 ).alias("n_postings_dropped"),
             )
         fp = fp.join(

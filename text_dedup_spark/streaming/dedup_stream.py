@@ -153,6 +153,16 @@ def reconcile_band_store(spark: SparkSession, band_store_dir: str) -> DataFrame:
             "by a pre-doc-id revision); re-ingest the batches — a mixed-schema "
             "store would silently drop the old postings from reconciliation"
         )
+    # mixed-schema store: old part files lacking the column merge as NULL
+    # doc ids — those postings cannot be reconciled, so fail loudly with a
+    # count instead of silently dropping them
+    n_null = store.where(F.col("__doc_id__").isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"band store {band_store_dir} holds {n_null} postings with NULL "
+            "__doc_id__ (appended by a pre-doc-id revision into a mixed-schema "
+            "store); re-ingest those batches before reconciling"
+        )
     posts = store.select(
         F.col("__doc_id__").alias("id"), "__band_idx__", "__band_val__"
     ).dropDuplicates()
