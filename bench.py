@@ -66,6 +66,7 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
     skew = _skew_guard_leg(spark, sf_dir)
+    setsim_cap = _setsim_cap_leg(spark)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -77,6 +78,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / timings["minhash_dedup"], 1),
         "cpus": int(cpus),
         "skew_guard": skew,
+        "setsim_gram_cap": setsim_cap,
     }
     print(json.dumps(out))
     spark.stop()
@@ -142,6 +144,45 @@ def _skew_guard_leg(spark, sf_dir: str) -> dict:
         "n_dup_uncapped": int(n_dup_full),
     }
     print(f"# skew_guard: {leg}", file=sys.stderr)
+    return leg
+
+
+def _setsim_cap_leg(spark, n: int = 2000) -> dict:
+    """Stopword-dominated pathological corpus for the prefix join's
+    observable hot-gram cap: tiny gram sets where one gram is shared by
+    EVERY doc (prefix filtering cannot exclude a stopword once sets are
+    small enough that the prefix spans them) -> n^2/2 candidate pairs
+    uncapped. Planted true pairs (2i, 2i+1) share a rare gram, so the
+    capped leg keeps the full output while dropping the hot gram."""
+    from pyspark.sql import Observation
+
+    from text_dedup_spark.functions.setsim import jaccard_pairs_prefix
+
+    rows = [(i, ["the of and", f"u{i // 2} body gram"]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, grams array<string>").repartition(8)
+
+    t0 = time.time()
+    n_lossless = jaccard_pairs_prefix(df, threshold=0.5).count()
+    lossless_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    obs = Observation("bench_setsim_cap")
+    n_capped = jaccard_pairs_prefix(
+        df, threshold=0.5, max_gram_df=100, observation=obs
+    ).count()
+    capped_sec = round(time.time() - t0, 3)
+    got = obs.get
+
+    leg = {
+        "n_docs": n,
+        "lossless_sec": lossless_sec,
+        "capped_sec": capped_sec,
+        "n_pairs_lossless": int(n_lossless),
+        "n_pairs_capped": int(n_capped),
+        "n_hot_grams": int(got["n_hot_grams"]),
+        "n_hot_postings": int(got["n_hot_postings"]),
+    }
+    print(f"# setsim_gram_cap: {leg}", file=sys.stderr)
     return leg
 
 

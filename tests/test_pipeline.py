@@ -141,3 +141,47 @@ class TestCsvJsonInput:
         summary = run_pipeline(load_config(cfgp), spark=spark)
         n_distinct = len(set(pdf["text"]))
         assert summary["rows_after"] == n_distinct
+
+
+class TestScaleProfileIds:
+    def test_scale_profile_skips_global_window(self, spark, input_parquet, tmp_path):
+        # under profile="scale" with no index_column, id assignment must not
+        # plan a single-partition global window (the web-scale killer)
+        from text_dedup_spark.config import load_config as _lc
+        from text_dedup_spark.pipeline import _with_ids, read_input
+
+        cfgp = write_config(
+            tmp_path,
+            input_parquet,
+            'algorithm_name = "minhash"\nnum_perm = 16\nprofile = "scale"',
+            str(tmp_path / "out_scale"),
+        )
+        cfg = _lc(cfgp)
+        ids_df = _with_ids(read_input(spark, cfg), cfg)
+        plan = ids_df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        n = ids_df.count()
+        assert ids_df.select("__INDEX__").distinct().count() == n  # unique
+        assert ids_df.where("__INDEX__ < 0").count() == 0
+
+        # parity profile keeps reference 0..n-1 ordinals
+        cfgp2 = write_config(
+            tmp_path,
+            input_parquet,
+            'algorithm_name = "minhash"\nnum_perm = 16',
+            str(tmp_path / "out_parity"),
+        )
+        cfg2 = _lc(cfgp2)
+        ids2 = _with_ids(read_input(spark, cfg2), cfg2)
+        got = sorted(r[0] for r in ids2.select("__INDEX__").collect())
+        assert got == list(range(len(got)))
+
+    def test_scale_profile_pipeline_runs(self, spark, input_parquet, tmp_path):
+        cfgp = write_config(
+            tmp_path,
+            input_parquet,
+            'algorithm_name = "minhash"\nnum_perm = 16\nngram_size = 2\nthreshold = 0.5\nprofile = "scale"',
+            str(tmp_path / "out_scale_run"),
+        )
+        summary = run_pipeline(load_config(cfgp), spark=spark)
+        assert summary["rows_after"] > 0

@@ -24,6 +24,8 @@ def jaccard_pairs_prefix(
     id_col: str = "doc_id",
     grams_col: str = "grams",
     eager: bool = True,
+    max_gram_df: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """grams_df: (id, array<string> distinct grams). Returns
     (a_id, b_id, inter_size, union_size) for pairs with
@@ -34,7 +36,18 @@ def jaccard_pairs_prefix(
     when the threshold keeps the output near-linear (the operator's intended
     regime) and callers consume the result. ``eager=False`` keeps the plan
     lazy for composition (e.g. a downstream ``.limit``) at the cost of the
-    gram cache staying pinned until the session drops it."""
+    gram cache staying pinned until the session drops it.
+
+    ``max_gram_df`` (default OFF — parity/lossless by default, matching the
+    repo's cap convention): drop grams whose document frequency exceeds the
+    cap from the candidate index, like stopwords. A boilerplate gram shared
+    by d documents fans out to d^2/2 candidate pairs in the prefix join —
+    the quadratic hot spot on stopword-heavy corpora; capping bounds it at
+    cap^2/2 per gram. Verification is untouched (exact intersection over the
+    FULL gram arrays), so capping can only lose candidate recall, never emit
+    a false pair. Observable, never silent: pass a
+    ``pyspark.sql.Observation`` to read ``n_hot_grams`` /
+    ``n_hot_postings`` after an action."""
     # persisted: consumed by the postings index AND both sides of the
     # verification join — without it the gram arrays are recomputed 3x
     sized = (
@@ -47,6 +60,23 @@ def jaccard_pairs_prefix(
 
     postings = sized.select(id_col, "sz", F.explode(grams_col).alias("gram"))
     freq = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    if max_gram_df is not None:
+        flagged = freq.withColumn("__hot__", F.col("df") > max_gram_df)
+        if observation is not None:
+            flagged = flagged.observe(
+                observation,
+                F.coalesce(F.sum(F.col("__hot__").cast("long")), F.lit(0)).alias(
+                    "n_hot_grams"
+                ),
+                F.coalesce(
+                    F.sum(F.when(F.col("__hot__"), F.col("df")).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_hot_postings"),
+            )
+        # hot grams leave the index BEFORE prefix ranking: surviving grams
+        # move up in rarest-first rank, so every doc still indexes a full
+        # prefix of its remaining grams (maximal retained candidate power)
+        freq = flagged.where(~F.col("__hot__")).drop("__hot__")
     ranked = postings.join(freq, "gram").withColumn(
         "rn",
         F.row_number().over(

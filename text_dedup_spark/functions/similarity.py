@@ -89,6 +89,31 @@ def sign_sketch(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def sign_sketch_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Vectorized pandas UDF computing all tables' random-hyperplane sign
+    sketches in one (batch x dim) @ (dim x n_tables*n_planes) GEMM +
+    bit-pack; returns array<long> of n_tables bucket codes per vector.
+    Shared by ``lsh_bucketed_topk`` and ``embedding_dedup.cosine_edges``'s
+    LSH candidate generation (same seed => same tables)."""
+    import pandas as pd
+
+    planes_all = np.concatenate(
+        [np.asarray(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    ).T  # (dim, n_tables*n_planes)
+    weights = np.ascontiguousarray(planes_all)
+    pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sketch_udf(vecs):
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        proj = m @ weights  # (batch, n_tables*n_planes)
+        bits = (proj >= 0).astype(np.int64).reshape(len(m), n_tables, n_planes)
+        codes = bits @ pow2  # (batch, n_tables)
+        return pd.Series(list(codes))
+
+    return sketch_udf
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 3,
@@ -128,6 +153,19 @@ def ivf_topk(
     else:
         sample_pdf = emb.orderBy(id_col).limit(sample_rows).select(vec_col).toPandas()
         X = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
+        if len(X) >= sample_rows:
+            # the sample saturated: the table is at least sample_rows large,
+            # so the driver-side k-means is training on a lowest-id prefix
+            # (a sort+limit over the full table). Fine as a convenience at
+            # test scale; at web scale train centroids offline and pass
+            # centroids= to skip this stage entirely.
+            import warnings
+
+            warnings.warn(
+                f"ivf_topk: driver k-means sample saturated at {sample_rows} "
+                "rows; pass centroids= (trained offline) for large tables",
+                stacklevel=2,
+            )
         if len(X) == 0:
             # derive the empty frame from the input so the id type matches
             # the non-empty path's output exactly
@@ -230,31 +268,18 @@ def lsh_bucketed_topk(
     # (batch x dim) @ (dim x n_tables*n_planes) GEMM + bit-pack, instead of
     # n_tables*n_planes*dim folded Catalyst expressions (whose codegen
     # compile time alone dominates at small scale)
-    import numpy as np
-
-    planes_all = np.concatenate(
-        [np.asarray(_hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
-    ).T  # (dim, n_tables*n_planes)
-    weights = np.ascontiguousarray(planes_all)
-    pow2 = (1 << np.arange(n_planes, dtype=np.int64))
-
-    @F.pandas_udf("array<long>")
-    def sketch_udf(vecs):
-        import pandas as pd
-
-        m = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
-        proj = m @ weights  # (batch, n_tables*n_planes)
-        bits = (proj >= 0).astype(np.int64).reshape(len(m), n_tables, n_planes)
-        codes = bits @ pow2  # (batch, n_tables)
-        return pd.Series(list(codes))
-
+    sketch_udf = sign_sketch_udf(dim, n_planes, n_tables, seed)
     sketched = q.select("vec_id", "q", sketch_udf(F.col("v")).alias("sketches"))
     # persisted: consumed by the bucket-size aggregation (when capped) and
     # both sides of the bucket self-join — without it the sketch GEMM UDF
     # recomputes per consumer; released after the (small, <= n*k rows)
     # result materializes
+    # posexplode_outer: sketches is never empty (n_tables entries per row),
+    # and a non-outer Generate above the pandas UDF makes Catalyst infer a
+    # size(sketches)>0 filter that splits the sketch GEMM into TWO
+    # ArrowEvalPython evaluations
     tagged = sketched.select(
-        "vec_id", "q", F.posexplode("sketches").alias("table_id", "bucket")
+        "vec_id", "q", F.posexplode_outer("sketches").alias("table_id", "bucket")
     ).persist()
     if max_bucket_size is not None:
         sizes = tagged.groupBy("table_id", "bucket").agg(

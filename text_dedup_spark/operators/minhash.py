@@ -236,11 +236,20 @@ def minhash_dedup(
     if repartition_input:
         docs = docs.repartition(repartition_input, F.col(INDEX_COL))
 
-    with_bands = docs.withColumn("__BANDS__", _bands_udf(kernel)(F.col(text_col)))
     # the bands DataFrame feeds three consumers (band roots, edge join-back,
     # cluster assignment) — persist so the expensive fingerprint UDF runs
-    # exactly once (at cluster scale this is the fingerprint checkpoint table)
-    filtered = with_bands.where(F.col("__BANDS__").isNotNull()).persist()
+    # exactly once (at cluster scale this is the fingerprint checkpoint
+    # table). The persist sits BELOW the isNotNull filter deliberately:
+    # with the filter inside the cached plan, Catalyst pushes it under the
+    # repartition exchange, which splits the Python UDF into two
+    # ArrowEvalPython nodes (one to evaluate the filter pre-shuffle, one to
+    # rematerialize the column post-shuffle) — doubling the single most
+    # expensive stage of the pipeline. Caching the raw UDF output keeps one
+    # evaluation; the filter is a trivial scan predicate on the cache.
+    with_bands = docs.withColumn(
+        "__BANDS__", _bands_udf(kernel)(F.col(text_col))
+    ).persist()
+    filtered = with_bands.where(F.col("__BANDS__").isNotNull())
 
     exploded = _explode_bands(filtered, kernel)
     edges = lsh_star_edges(exploded).observe(

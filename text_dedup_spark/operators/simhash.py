@@ -85,17 +85,32 @@ def _embed_udf(kernel: SimHashKernel):
     return embed
 
 
+def simhash_embed(
+    df: DataFrame, kernel: SimHashKernel, text_col: str = "text"
+) -> DataFrame:
+    """-> df + __E__ struct (sig_hi, sig_lo, keys array). Kept separate from
+    the explode so callers can cache THIS frame: a Generate directly above
+    the pandas UDF makes Catalyst infer a size(keys)>0 filter and split the
+    UDF into two ArrowEvalPython evaluations (filter + rematerialize) —
+    caching the embed output first keeps the expensive UDF at one pass and
+    shrinks the cache to one row per doc instead of one per permutation."""
+    return df.withColumn("__E__", _embed_udf(kernel)(F.col(text_col)))
+
+
 def simhash_fingerprint(
     df: DataFrame, kernel: SimHashKernel, text_col: str = "text"
 ) -> DataFrame:
     """-> (__INDEX__, __key__, sig_hi, sig_lo), one row per permutation table
-    (reference F9-F11, ``simhash.py:28-40`` + embed at config :328-380)."""
-    e = df.withColumn("__E__", _embed_udf(kernel)(F.col(text_col)))
+    (reference F9-F11, ``simhash.py:28-40`` + embed at config :328-380).
+    explode_outer: keys arrays are never empty (one entry per permutation),
+    and the non-outer Generate's inferred non-empty filter would double the
+    embed UDF evaluation when the input is not already cached."""
+    e = simhash_embed(df, kernel, text_col)
     return e.select(
         F.col(INDEX_COL),
         F.col("__E__.sig_hi").alias("sig_hi"),
         F.col("__E__.sig_lo").alias("sig_lo"),
-        F.explode("__E__.keys").alias("__key__"),
+        F.explode_outer("__E__.keys").alias("__key__"),
     )
 
 
@@ -196,9 +211,16 @@ def simhash_dedup(
     docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
     if repartition_input:
         docs = docs.repartition(repartition_input, F.col(INDEX_COL))
-    # persist: the fingerprint UDF output is consumed by both sides of the
-    # bucket self-join (and bucket-size capping when enabled)
-    fps = simhash_fingerprint(docs, kernel, text_col).persist()
+    # persist the embed output (one row per doc, UDF evaluated exactly once
+    # — see simhash_embed docstring); the cheap JVM explode re-runs per
+    # consumer (bucket-size capping + both sides of the bucket self-join)
+    embedded = simhash_embed(docs, kernel, text_col).persist()
+    fps = embedded.select(
+        F.col(INDEX_COL),
+        F.col("__E__.sig_hi").alias("sig_hi"),
+        F.col("__E__.sig_lo").alias("sig_lo"),
+        F.explode_outer("__E__.keys").alias("__key__"),
+    )
     edges = simhash_edges(fps, kernel.bit_diff, max_bucket_size, observation)
     mapping = connected_components(edges, driver_threshold=cc_driver_threshold)
 

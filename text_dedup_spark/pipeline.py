@@ -115,6 +115,15 @@ def _with_ids(df: DataFrame, config: Config) -> DataFrame:
         out = df.withColumn(INDEX_COL, F.col(algo.index_column).cast("long"))
         # the HF row column is internal — never let it leak into outputs
         return out.drop(HF_ROW_COL) if HF_ROW_COL in df.columns else out
+    if algo.profile == "scale":
+        # web-scale id assignment: no single-partition global window.
+        # monotonically_increasing_id is unique and shuffle-free; ids are
+        # run-specific (partition-layout dependent), which the ids-stage
+        # checkpoint freezes for resume — the documented parity tradeoff
+        # (reference ids are 0..n-1 load-order ordinals; under "scale" the
+        # cluster labels are still deterministic min-ids over THIS run's ids)
+        out = df.withColumn(INDEX_COL, F.monotonically_increasing_id())
+        return out.drop(HF_ROW_COL) if HF_ROW_COL in df.columns else out
     from pyspark.sql import Window
 
     if HF_ROW_COL in df.columns:
