@@ -319,3 +319,32 @@ class TestMd5SimHashOracleIdentities:
                 sig |= 1 << j
         assert k.fingerprint(text) == sig
         assert k.fingerprint("too short") == 0
+
+
+class TestSimHashFPVerifyCap:
+    def test_max_cluster_verify_bypasses_big_clusters(self, spark, corpus, pages_df):
+        """SimHash mirror of TestFPVerifyCap: clusters above the cap skip
+        pairwise Jaccard verification and keep their assignment verbatim;
+        clusters at/below the cap verify identically to the uncapped run."""
+        from collections import Counter
+
+        kernel = SimHashKernel(f=64, bit_diff=6, num_bucket=8, ngram_size=3, min_length=5)
+        uncapped = simhash_dedup(pages_df, kernel, check_false_positive=True)
+        capped = simhash_dedup(
+            pages_df, kernel, check_false_positive=True, max_cluster_verify=2
+        )
+        unc = {r[INDEX_COL]: r[CLUSTER_COL] for r in uncapped.docs.collect()}
+        cap = {r[INDEX_COL]: r[CLUSTER_COL] for r in capped.docs.collect()}
+        assert set(unc) == set(cap)
+        base = simhash_dedup(pages_df, kernel, check_false_positive=False)
+        orig = {r[INDEX_COL]: r[CLUSTER_COL] for r in base.docs.collect()}
+        orig_sizes = Counter(orig.values())
+        # bypassed clusters keep ALL members assigned
+        for idx, c in orig.items():
+            if orig_sizes[c] > 2 and c != idx:
+                assert cap[idx] == c, f"bypassed doc {idx} lost/changed cluster"
+        # small clusters verify identically
+        for idx in unc:
+            if orig_sizes[orig[idx]] <= 2:
+                assert cap[idx] == unc[idx], f"small-cluster doc {idx} diverged"
+        assert any(s > 2 for s in orig_sizes.values())

@@ -169,11 +169,34 @@ def simhash_edges(
 
 
 def simhash_check_false_positives(
-    docs: DataFrame, kernel: SimHashKernel, jaccard_threshold: float, text_col: str = "text"
+    docs: DataFrame,
+    kernel: SimHashKernel,
+    jaccard_threshold: float,
+    text_col: str = "text",
+    max_cluster_verify: int | None = None,
+    observation=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Intra-cluster pairwise Jaccard -> fresh CC over verified pairs
-    (reference ``simhash.py:93-173``). __duplicate__ NOT updated."""
+    (reference ``simhash.py:93-173``). __duplicate__ NOT updated.
+
+    ``max_cluster_verify`` (scale guard, default None = reference-faithful,
+    mirroring minhash.check_false_positives): clusters larger than the cap
+    skip pairwise verification and keep their assignment — O(m^2) pairs
+    over a boilerplate mega-cluster is the quadratic hazard. Bypassed
+    membership is observable via ``n_bypassed``, never silent."""
     cand = docs.where(F.col(DUPLICATE_COL)).select(INDEX_COL, text_col, CLUSTER_COL)
+    bypassed = None
+    if max_cluster_verify is not None:
+        sizes = cand.groupBy(CLUSTER_COL).agg(F.count(F.lit(1)).alias("__csz__"))
+        cand_all = cand.join(sizes, CLUSTER_COL)
+        bypassed = cand_all.where(F.col("__csz__") > max_cluster_verify).select(
+            F.col(INDEX_COL).alias("idx"), F.col(CLUSTER_COL)
+        )
+        bypassed = bypassed.observe(
+            observation if observation is not None else "simhash_fp_bypassed",
+            F.count(F.lit(1)).alias("n_bypassed"),
+        )
+        cand = cand_all.where(F.col("__csz__") <= max_cluster_verify).drop("__csz__")
     left = cand.select(
         F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id1"), F.col(text_col).alias("t1")
     )
@@ -186,6 +209,14 @@ def simhash_check_false_positives(
     new_map = connected_components(
         verified.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     )
+    if bypassed is not None:
+        # bypassed clusters keep their assignment verbatim; their min-id
+        # labels can't collide with the fresh CC's labels (a bypassed
+        # cluster's root is itself bypassed, so it never enters a verified
+        # pair)
+        new_map = new_map.unionByName(
+            bypassed.select(F.col("idx").alias("id"), F.col(CLUSTER_COL).alias("cluster"))
+        )
     reassigned = (
         docs.drop(CLUSTER_COL)
         .join(new_map.withColumnRenamed("id", INDEX_COL), INDEX_COL, "left")
@@ -204,6 +235,7 @@ def simhash_dedup(
     jaccard_threshold: float = 0.5,
     skip_filtering: bool = False,
     max_bucket_size: int | None = None,
+    max_cluster_verify: int | None = None,
     repartition_input: int | None = None,
     cc_driver_threshold: int = 5_000_000,
     observation=None,
@@ -233,7 +265,12 @@ def simhash_dedup(
     )
     if check_false_positive:
         assigned, mapping = simhash_check_false_positives(
-            assigned, kernel, jaccard_threshold, text_col
+            assigned,
+            kernel,
+            jaccard_threshold,
+            text_col,
+            max_cluster_verify=max_cluster_verify,
+            observation=observation,
         )
     # reference quirk: filter uses the INITIAL duplicate flag (simhash.py:176-186)
     kept = assigned if skip_filtering else assigned.where(~F.col(DUPLICATE_COL))

@@ -246,6 +246,7 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
                 jaccard_threshold=algo.jaccard_threshold,
                 skip_filtering=True,
                 max_bucket_size=max_bucket_size,
+                max_cluster_verify=max_cluster_verify,
             ).docs
 
         assigned = stage("assigned", {"cfg": cfg_dict, "stage": "assigned"}, build_assigned)
