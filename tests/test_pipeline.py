@@ -185,3 +185,32 @@ class TestScaleProfileIds:
         )
         summary = run_pipeline(load_config(cfgp), spark=spark)
         assert summary["rows_after"] > 0
+
+
+class TestCatalogTableIO:
+    def test_table_input_and_table_output(self, spark, input_parquet, tmp_path):
+        # input_type="table" reads from the session catalog (Iceberg/Delta
+        # slot in via the same call when their catalogs are configured);
+        # output_table saves back through the catalog
+        spark.read.parquet(input_parquet).createOrReplaceTempView("pages_view")
+        cfg = f"""
+[input]
+input_type = "table"
+[input.read_arguments]
+table = "pages_view"
+
+[algorithm]
+algorithm_name = "bloom_filter"
+text_column = "text"
+
+[output]
+output_dir = "{tmp_path / 'out_tbl'}"
+output_table = "dedup_out_tbl"
+"""
+        p = tmp_path / "table_config.toml"
+        p.write_text(cfg)
+        summary = run_pipeline(load_config(str(p)), spark=spark)
+        assert summary["rows_after"] > 0
+        got = spark.table("dedup_out_tbl").count()
+        assert got == summary["rows_after"]
+        spark.sql("DROP TABLE dedup_out_tbl")

@@ -38,6 +38,10 @@ class OutputConfig:
     save_clusters: bool = False
     keep_index_column: bool = False
     keep_cluster_column: bool = False
+    # optional catalog-table sink (saveAsTable; with an Iceberg catalog
+    # configured on the session, "cat.db.name" writes Iceberg) — written IN
+    # ADDITION to the output_dir parquet, which stays the summary source
+    output_table: str | None = None
 
 
 @dataclass

@@ -52,6 +52,15 @@ def read_input(spark: SparkSession, config: Config) -> DataFrame:
                 cond = cond & (F.col(HF_ROW_COL) < b)
             df = df.where(cond)
         return df
+    if config.input.input_type == "table":
+        # catalog table (Iceberg/Delta/hive — whatever the session catalog
+        # serves; e.g. read_arguments.table = "iceberg_cat.db.pages" with
+        # snapshot-id / as-of-timestamp passed straight through as reader
+        # options for time travel). This is the north-star input shape: the
+        # engine never lists files itself, the catalog plans the scan.
+        name = args.pop("table")
+        reader = spark.read.options(**{k: str(v) for k, v in args.items()})
+        return _apply_split(reader.table(name), split)
     path = args.pop("path")
     reader = spark.read.options(**{k: str(v) for k, v in args.items()})
     ft = config.input.file_type
@@ -296,7 +305,10 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
     if DUPLICATE_COL in final.columns:
         drop_cols.append(DUPLICATE_COL)
     out = Path(config.output.output_dir)
-    final.drop(*drop_cols).write.mode("overwrite").parquet(str(out / "data"))
+    final_out = final.drop(*drop_cols)
+    final_out.write.mode("overwrite").parquet(str(out / "data"))
+    if config.output.output_table:
+        final_out.write.mode("overwrite").saveAsTable(config.output.output_table)
     if config.output.save_clusters and clusters is not None:
         clusters.write.mode("overwrite").parquet(str(out / "clusters"))
         # small-scale compatibility export of the reference's clusters.pickle
