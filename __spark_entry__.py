@@ -16,10 +16,11 @@ No-oracle waivers (rows-only driver check; exact parity lives in pytest):
   permutation arithmetic, LSH banding/Hamming buckets and connected
   components replayed in SQL), so only the base-hash choice remains
   waivered, not the pipelines.
-- ann_lsh_topk / ann_ivf_topk: approximate by design (random-hyperplane
-  sketches / k-means inverted lists from numpy RandomState);
-  tests/test_similarity.py pins recall@k >= 0.9 vs the oracle-green
-  brute_force_topk for both, plus bucket-cap accounting.
+(ann_lsh_topk / ann_ivf_topk stopped being waivers in round 3: both are
+deterministic given the seed, so the oracle inlines the seeded hyperplane /
+centroid constants and replays sketch->bucket->exact-rerank in SQL;
+recall@k >= 0.9 vs brute force additionally pinned in
+tests/test_similarity.py.)
 
 Column-type discipline for hash-stable oracle comparison: every emitted
 column is int/bigint/string — no raw floats (reduction-order hazards), no
@@ -567,7 +568,13 @@ def q_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH buckets (scale path)."""
+    """Approximate ANN via random-hyperplane LSH buckets (scale path).
+
+    DETERMINISTIC given the seed, and now hard-oracled: the oracle inlines
+    the same seeded hyperplanes as double constants and replays sketch ->
+    bucket join -> exact integer rerank in SQL (float projections agree
+    because a sign flip needs |proj| within float64 noise of 0 — measure
+    zero on real data; the rerank and ranking are exact integers)."""
     from text_dedup_spark.functions.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_emb(spark, sf_dir), k=3).withColumn(
@@ -575,14 +582,154 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PARAMS = dict(n_centroids=16, nprobe=4, seed=42, dim=64)
+
+
+def _ivf_fixed_centroids():
+    """Seeded random unit centroids — the documented `centroids=` scale path
+    (train offline, ship constants); also what makes the query
+    SQL-replayable. numpy float64, normalized HERE so both engines consume
+    the identical post-normalization doubles."""
+    import numpy as np
+
+    rng = np.random.RandomState(_IVF_PARAMS["seed"])
+    C = rng.randn(_IVF_PARAMS["n_centroids"], _IVF_PARAMS["dim"])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via IVF inverted lists (coarse-quantizer scale path;
-    recall pinned vs brute force in tests/test_similarity.py)."""
+    """Approximate ANN via IVF inverted lists, exercising the PRECOMPUTED
+    centroids path (the scale deployment shape: coarse quantizer trained
+    offline, no driver sample) — which also makes it deterministic and
+    hard-oracled (centroid constants inlined into the SQL replay). The
+    default k-means path keeps its recall>=0.9 pin in
+    tests/test_similarity.py."""
     from text_dedup_spark.functions.similarity import ivf_topk
 
-    return ivf_topk(_emb(spark, sf_dir), k=3).withColumn(
-        "rank", F.col("rank").cast("int")
-    )
+    return ivf_topk(
+        _emb(spark, sf_dir),
+        k=3,
+        nprobe=_IVF_PARAMS["nprobe"],
+        centroids=_ivf_fixed_centroids(),
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def _lsh_ann_oracle_sql() -> str:
+    """DuckDB replay of q_ann_lsh_topk: the seeded hyperplanes are inlined
+    as full-precision double constants (repr round-trips), projections and
+    bucket codes recomputed in SQL, candidates re-joined per (table,
+    bucket), and the rerank is the exact quantized integer dot with the
+    same (dot DESC, neighbor_id) tie-break. Float caveat: numpy's GEMM and
+    DuckDB's list_sum reduce in different orders, so a projection would
+    need to sit within float64 noise of 0 to flip a sketch bit — measure
+    zero on real-valued embeddings."""
+    from text_dedup_spark.functions.similarity import _hyperplanes
+
+    n_planes, n_tables, dim, seed = 12, 4, 64, 42  # lsh_bucketed_topk defaults
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        for j, w in enumerate(planes):
+            warr = ",".join(repr(float(x)) for x in w)
+            rows.append(f"({t}, {j}, [{warr}])")
+    planes_values = ",\n              ".join(rows)
+    return f"""
+            WITH planes(t, j, w) AS (VALUES
+              {planes_values}),
+            e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+              FROM embeddings),
+            proj AS (
+              SELECT e.vec_id, p.t, p.j,
+                     list_sum(list_transform(range(1, {dim + 1}),
+                          i -> e.v[i] * p.w[i])) AS s
+              FROM e CROSS JOIN planes p),
+            buckets AS (
+              SELECT vec_id, t,
+                     CAST(sum(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+              FROM proj GROUP BY vec_id, t),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+              FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+              WHERE a.vec_id <> b.vec_id),
+            scored AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     CAST(list_sum(list_transform(range(1, {dim + 1}),
+                          i -> qa.q[i] * qb.q[i])) AS BIGINT) AS dot
+              FROM cand c
+              JOIN e qa ON qa.vec_id = c.vec_id
+              JOIN e qb ON qb.vec_id = c.neighbor_id),
+            ranked AS (
+              SELECT vec_id, neighbor_id, dot,
+                     CAST(row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+              FROM scored)
+            SELECT vec_id, neighbor_id, dot, rank FROM ranked WHERE rank <= 3
+        """
+
+
+def _ivf_ann_oracle_sql() -> str:
+    """DuckDB replay of q_ann_ivf_topk (precomputed-centroids path): the
+    seeded unit centroids are inlined as double constants; list assignment
+    is argmax centroid similarity (rank 1), queries probe the top-nprobe
+    centroids, and candidates are reranked with the exact integer dot.
+    Query-side normalization in the Spark probe UDF is a positive row
+    scaling — argsort order is identical on raw dots, so the oracle skips
+    it. Centroid-side, ivf_topk re-normalizes whatever it is passed, and
+    renormalizing an already-unit vector still shifts the low ulps (its
+    computed norm is 1.0 +/- eps) — so the oracle inlines the SAME
+    twice-normalized doubles the executors see."""
+    import numpy as np
+
+    C = _ivf_fixed_centroids()
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    nprobe, dim = _IVF_PARAMS["nprobe"], _IVF_PARAMS["dim"]
+    rows = []
+    for cid, c in enumerate(C):
+        carr = ",".join(repr(float(x)) for x in c)
+        rows.append(f"({cid}, [{carr}])")
+    cent_values = ",\n              ".join(rows)
+    return f"""
+            WITH cent(cid, c) AS (VALUES
+              {cent_values}),
+            e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+              FROM embeddings),
+            sims AS (
+              SELECT e.vec_id, cent.cid,
+                     list_sum(list_transform(range(1, {dim + 1}),
+                          i -> e.v[i] * cent.c[i])) AS s
+              FROM e CROSS JOIN cent),
+            probes AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                          ORDER BY s DESC, cid) AS pr
+              FROM sims),
+            lists AS (SELECT vec_id AS neighbor_id, cid FROM probes WHERE pr = 1),
+            qprobes AS (SELECT vec_id, cid FROM probes WHERE pr <= {nprobe}),
+            cand AS (
+              SELECT qp.vec_id, l.neighbor_id
+              FROM qprobes qp JOIN lists l USING (cid)
+              WHERE qp.vec_id <> l.neighbor_id),
+            scored AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     CAST(list_sum(list_transform(range(1, {dim + 1}),
+                          i -> qa.q[i] * qb.q[i])) AS BIGINT) AS dot
+              FROM cand c
+              JOIN e qa ON qa.vec_id = c.vec_id
+              JOIN e qb ON qb.vec_id = c.neighbor_id),
+            ranked AS (
+              SELECT vec_id, neighbor_id, dot,
+                     CAST(row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+              FROM scored)
+            SELECT vec_id, neighbor_id, dot, rank FROM ranked WHERE rank <= 3
+        """
 
 
 # ---------------------------------------------------------------------------
@@ -633,6 +780,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_dedup_md5": _md5_minhash_oracle_sql(),
         "simhash_dedup_md5": _md5_simhash_oracle_sql(),
+        "ann_lsh_topk": _lsh_ann_oracle_sql(),
+        "ann_ivf_topk": _ivf_ann_oracle_sql(),
         "exact_dedup_groups": """
             SELECT md5(text) AS text_md5,
                    min(doc_id) AS first_doc_id,
