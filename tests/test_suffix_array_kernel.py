@@ -85,3 +85,46 @@ class TestSuffixArray:
     def test_self_overlap(self):
         data = b"aaaaaaaaaa"  # overlapping occurrences
         assert duplicate_byte_ranges(data, 3) == brute_force_ranges(data, 3)
+
+
+class TestNativeKernelParity:
+    """C kernel (sa_native: radix prefix doubling + Kasai) must equal the
+    numpy kernel bit-for-bit: the suffix array of a byte string is unique,
+    and both LCP definitions are the standard adjacent-pair LCP."""
+
+    def test_c_equals_numpy_when_available(self):
+        from text_dedup_spark.kernels import sa_native
+        from text_dedup_spark.kernels.suffix_array_kernel import (
+            suffix_and_lcp_arrays_numpy,
+        )
+
+        if not sa_native.available():
+            pytest.skip(f"native kernel unavailable: {sa_native.load_error()}")
+        rng = np.random.RandomState(3)
+        cases = [b"", b"a", b"banana", b"aa" * 40, bytes(range(256)) * 2]
+        for n in (17, 257, 2048):
+            cases.append(rng.randint(0, 256, n).astype(np.uint8).tobytes())
+            cases.append(rng.randint(97, 100, n).astype(np.uint8).tobytes())
+        words = [b"alpha", b"beta", b"gamma", b"delta"]
+        cases.append(b" ".join(words[i % 4] for i in rng.randint(0, 4, 1500)))
+        for d in cases:
+            sa_c, lcp_c = sa_native.suffix_and_lcp_arrays_c(d)
+            sa_n, lcp_n = suffix_and_lcp_arrays_numpy(d)
+            assert np.array_equal(sa_c, sa_n), f"SA mismatch at n={len(d)}"
+            assert np.array_equal(lcp_c, lcp_n), f"LCP mismatch at n={len(d)}"
+
+    def test_dispatch_env_override(self, monkeypatch):
+        # TEXT_DEDUP_SPARK_SA_KERNEL=numpy must force the fallback even when
+        # the native kernel exists (fresh module state via reload)
+        import importlib
+
+        from text_dedup_spark.kernels import sa_native
+
+        monkeypatch.setenv("TEXT_DEDUP_SPARK_SA_KERNEL", "numpy")
+        importlib.reload(sa_native)
+        try:
+            assert not sa_native.available()
+            assert "disabled" in (sa_native.load_error() or "")
+        finally:
+            monkeypatch.delenv("TEXT_DEDUP_SPARK_SA_KERNEL")
+            importlib.reload(sa_native)
