@@ -43,12 +43,19 @@ def _build_or_load() -> ctypes.CDLL:
     if not so_path.exists():
         cc = os.environ.get("CC", "cc")
         tmp = so_path.with_suffix(f".{os.getpid()}.tmp")
-        subprocess.run(
-            [cc, "-O2", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
+        # -march=native is safe because the build is per-machine (cache dir
+        # is local); a prebuilt .so shipped to heterogeneous nodes should be
+        # compiled without it. Retry portable flags if the compiler balks.
+        base = ["-shared", "-fPIC", "-o", str(tmp), str(_SRC)]
+        try:
+            subprocess.run(
+                [cc, "-O3", "-march=native"] + base,
+                check=True, capture_output=True, timeout=120,
+            )
+        except subprocess.CalledProcessError:
+            subprocess.run(
+                [cc, "-O2"] + base, check=True, capture_output=True, timeout=120
+            )
         os.replace(tmp, so_path)  # atomic: concurrent executors race safely
     lib = ctypes.CDLL(str(so_path))
     lib.build_sa_lcp.restype = ctypes.c_int
