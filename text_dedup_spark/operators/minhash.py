@@ -119,19 +119,25 @@ def minhash_fingerprint(df: DataFrame, kernel: MinHashKernel, text_col: str = "t
 
 
 def lsh_star_edges(exploded: DataFrame) -> DataFrame:
-    """Band groups -> star edges (band-min-id, member-id). Same connected
-    components as the reference's all-pairs band join (J1), linear output."""
-    roots = (
-        exploded.groupBy("__band_idx__", "__band_val__")
-        .agg(F.min(INDEX_COL).alias("__root__"), F.count(F.lit(1)).alias("__cnt__"))
-        .where(F.col("__cnt__") > 1)
-    )
+    """Band groups -> star edges (band-min-id, member-id) in ONE shuffle: a
+    min-over-band window replaces the former groupBy + join-back pair, which
+    exchanged the exploded band rows TWICE (once under the aggregation, once
+    under the join's left side) and re-read the fingerprint cache for each —
+    measured as the second-largest cost of the 1M-doc pipeline after the
+    fingerprint UDF itself. A row is an edge iff its id is not its band
+    group's minimum (a single-member group contributes nothing, so no
+    count filter is needed). Edge set identical to the reference's all-pairs
+    band join (J1) through connected components, linear in band-group size.
+
+    No distinct: connected_components dedups its input, so an extra shuffle
+    here would be pure overhead."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__band_idx__", "__band_val__")
     return (
-        exploded.join(roots, ["__band_idx__", "__band_val__"])
+        exploded.withColumn("__root__", F.min(INDEX_COL).over(w))
         .where(F.col(INDEX_COL) != F.col("__root__"))
         .select(F.col("__root__").alias("src"), F.col(INDEX_COL).alias("dst"))
-        # no distinct here: connected_components dedups its input, so an
-        # extra shuffle would be pure overhead
     )
 
 
@@ -236,19 +242,24 @@ def minhash_dedup(
     if repartition_input:
         docs = docs.repartition(repartition_input, F.col(INDEX_COL))
 
-    # the bands DataFrame feeds three consumers (band roots, edge join-back,
-    # cluster assignment) — persist so the expensive fingerprint UDF runs
-    # exactly once (at cluster scale this is the fingerprint checkpoint
-    # table). The persist sits BELOW the isNotNull filter deliberately:
-    # with the filter inside the cached plan, Catalyst pushes it under the
+    # The fingerprint cache is SLIM — (id, signature blob) only, ~1 KB/doc —
+    # the exact shape of the fingerprint checkpoint table you'd persist at
+    # cluster scale. Caching the full input rows alongside (the previous
+    # shape) tripled the cache bytes and made every band-phase scan drag the
+    # text column through memory. Wide columns rejoin by id at assignment.
+    # The persist sits BELOW the isNotNull filter deliberately: with the
+    # filter inside the cached plan, Catalyst pushes it under the
     # repartition exchange, which splits the Python UDF into two
     # ArrowEvalPython nodes (one to evaluate the filter pre-shuffle, one to
     # rematerialize the column post-shuffle) — doubling the single most
     # expensive stage of the pipeline. Caching the raw UDF output keeps one
     # evaluation; the filter is a trivial scan predicate on the cache.
-    with_bands = docs.withColumn(
-        "__BANDS__", _bands_udf(kernel)(F.col(text_col))
-    ).persist()
+    with_bands = (
+        docs.select(F.col(INDEX_COL), F.col(text_col))
+        .withColumn("__BANDS__", _bands_udf(kernel)(F.col(text_col)))
+        .select(INDEX_COL, "__BANDS__")
+        .persist()
+    )
     filtered = with_bands.where(F.col("__BANDS__").isNotNull())
 
     exploded = _explode_bands(filtered, kernel)
@@ -257,7 +268,11 @@ def minhash_dedup(
     )
     mapping = connected_components(edges, driver_threshold=cc_driver_threshold)
 
-    assigned = assign_clusters(filtered.drop("__BANDS__"), mapping)
+    # min-length survivors rejoin their full columns by id (both sides carry
+    # the repartition hash partitioning, so this adds no exchange of the
+    # wide rows beyond the one the repartition already paid)
+    survivors = docs.join(filtered.select(INDEX_COL), INDEX_COL)
+    assigned = assign_clusters(survivors, mapping)
     if check_false_positive:
         assigned, mapping = check_false_positives(
             assigned,
