@@ -273,7 +273,7 @@ def suffix_array_dedup_auto(
     id_col: str = INDEX_COL,
     length_threshold: int = 100,
     merge_strategy: str = "longest",
-    global_bytes_threshold: int = 32 << 20,
+    global_bytes_threshold: int | None = None,
     anchor_w: int = 48,
     max_group_size: int | None = None,
     max_group_bytes: int | None = None,
@@ -285,11 +285,19 @@ def suffix_array_dedup_auto(
     winnowing-anchored path whose per-group work is bounded by actual
     content overlap. Both produce identical output (tested); the crossover
     exists because the anchored path spends ~6 extra Spark stages, which
-    dominates at small corpus sizes. The 32 MB default keeps the global
-    task under ~2 min even on pathologically repetitive bytes (the numpy SA
-    kernel sustains ~0.25 MB/s there, ~1 MB/s on typical text). At true
-    scale combine with ``max_group_bytes`` (see the anchored docstring's
-    measured recall/latency tradeoff)."""
+    dominates at small corpus sizes.
+
+    The default gate is kernel-aware: 128 MB when the C SA-IS kernel loaded
+    (O(n) regardless of repetitiveness, measured ~2.5-6 MB/s/task on text —
+    a 128 MB task stays under ~a minute), 32 MB on the numpy fallback
+    (prefix doubling sustains ~1 MB/s on typical text and ~0.25 MB/s on
+    pathologically repetitive bytes, where tie classes persist to width
+    ~4 KB). At true scale combine with ``max_group_bytes`` (see the
+    anchored docstring's measured recall/latency tradeoff)."""
+    if global_bytes_threshold is None:
+        from text_dedup_spark.kernels import sa_native
+
+        global_bytes_threshold = (128 << 20) if sa_native.available() else (32 << 20)
     total = df.select(
         F.sum(F.length(F.encode(F.col(text_col), "utf-8"))).alias("b")
     ).first()["b"] or 0
