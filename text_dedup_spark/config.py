@@ -79,6 +79,10 @@ class AlgorithmConfig:
     profile: str = "parity"
     max_bucket_size: int | None = None
     max_cluster_verify: int | None = None
+    # MinHash band-exchange partition count (the pipeline's largest shuffle;
+    # size so partitions stay well under ~16 MB of sort input — see
+    # operators.minhash.minhash_dedup). None = session shuffle partitions.
+    band_partitions: int | None = None
     # --- reference drop-in compatibility fields -------------------------
     # Every shipped reference TOML parses unmodified. These knobs configure
     # the reference's single-node execution and have no Spark meaning (or a

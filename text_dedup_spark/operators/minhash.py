@@ -30,7 +30,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, BinaryType, DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from text_dedup_spark.kernels.jaccard import jaccard_similarity
 from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
@@ -48,11 +48,13 @@ class MinHashDedupResult:
 
 def _bands_udf(kernel: MinHashKernel):
     """Arrow-batched fingerprint: None for docs failing the min_length
-    filter (reference ``minhash.py:23-28``), else one concatenated
-    byteswapped signature blob (bands split JVM-side — a single binary per
-    doc is ~2x cheaper to ship through Arrow than list<binary>)."""
+    filter (reference ``minhash.py:23-28``), else an int64 array of 64-bit
+    band keys (``MinHashKernel.embed_batch_bandhash`` — the polynomial mix
+    of each band's signature values; equal bands -> equal keys, distinct
+    bands collide at ~2**-64). ~4x fewer bytes per doc through Arrow and
+    the fingerprint cache than the byteswapped signature blob."""
 
-    @F.pandas_udf(BinaryType())
+    @F.pandas_udf(ArrayType(LongType()))
     def bands(texts: pd.Series) -> pd.Series:
         from text_dedup_spark.kernels.tokenization import ngrams, tokenize
 
@@ -62,15 +64,18 @@ def _bands_udf(kernel: MinHashKernel):
             if len(tokens) < kernel.min_length:
                 shingle_sets.append(None)
             else:
+                # no per-gram .lower(): tokens are already lowered by
+                # tokenize and str.lower is idempotent (see kernels.
+                # tokenization.shingles)
                 shingle_sets.append(
                     {
-                        bytes(" ".join(g).lower(), "utf-8")
+                        " ".join(g).encode("utf-8")
                         for g in ngrams(tokens, kernel.ngram_size, kernel.min_length)
                     }
                 )
-        out: list[bytes | None] = [None] * len(shingle_sets)
+        out: list = [None] * len(shingle_sets)
         keep_idx = [i for i, s in enumerate(shingle_sets) if s is not None]
-        embedded = kernel.embed_batch_concat([shingle_sets[i] for i in keep_idx])
+        embedded = kernel.embed_batch_bandhash([shingle_sets[i] for i in keep_idx])
         for i, b in zip(keep_idx, embedded, strict=True):
             out[i] = b
         return pd.Series(out)
@@ -79,16 +84,11 @@ def _bands_udf(kernel: MinHashKernel):
 
 
 def _explode_bands(filtered: DataFrame, kernel: MinHashKernel) -> DataFrame:
-    """Split the concatenated signature blob into (band_idx, band_val) rows
-    JVM-side (whole-stage codegen, no Python)."""
-    bb = kernel.band_nbytes
-    band_slices = F.transform(
-        F.sequence(F.lit(0), F.lit(kernel.bands - 1)),
-        lambda i: F.substring(F.col("__BANDS__"), i * F.lit(bb) + 1, F.lit(bb)),
-    )
+    """Explode the band-key array into (band_idx, band_val) rows JVM-side
+    (whole-stage codegen, no Python; band_val is the int64 band key)."""
     return filtered.select(
         F.col(INDEX_COL),
-        F.posexplode(band_slices).alias("__band_idx__", "__band_val__"),
+        F.posexplode(F.col("__BANDS__")).alias("__band_idx__", "__band_val__"),
     )
 
 
@@ -230,6 +230,7 @@ def minhash_dedup(
     repartition_input: int | None = None,
     cc_driver_threshold: int = 5_000_000,
     max_cluster_verify: int | None = None,
+    band_partitions: int | None = None,
     observation=None,
 ) -> MinHashDedupResult:
     """End-to-end MinHash dedup. ``df`` must already carry a unique long id
@@ -237,12 +238,22 @@ def minhash_dedup(
 
     ``repartition_input``: spread the CPU-heavy fingerprint UDF across N
     partitions. Needed when the source is a handful of files (bench/test
-    inputs); leave None at scale where file splits give parallelism."""
+    inputs); leave None at scale where file splits give parallelism.
+
+    ``band_partitions``: partition count for the band-group exchange under
+    the star-edge window — the largest shuffle of the pipeline (docs x
+    bands rows). The window's per-partition SORT is the concurrency-hostile
+    step: partitions much beyond ~16 MB thrash cache under multi-task
+    executors (measured 2.8x on the sort stage at 8 concurrent tasks).
+    Size so partitions land well under that (rows*20B / band_partitions);
+    an explicit count here survives AQE's parallelism-first coalescing,
+    which would otherwise merge the sort back to defaultParallelism-sized
+    partitions. None = session ``spark.sql.shuffle.partitions``."""
     docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
     if repartition_input:
         docs = docs.repartition(repartition_input, F.col(INDEX_COL))
 
-    # The fingerprint cache is SLIM — (id, signature blob) only, ~1 KB/doc —
+    # The fingerprint cache is SLIM — (id, band-key array) only, ~9B/band —
     # the exact shape of the fingerprint checkpoint table you'd persist at
     # cluster scale. Caching the full input rows alongside (the previous
     # shape) tripled the cache bytes and made every band-phase scan drag the
@@ -263,6 +274,13 @@ def minhash_dedup(
     filtered = with_bands.where(F.col("__BANDS__").isNotNull())
 
     exploded = _explode_bands(filtered, kernel)
+    if band_partitions:
+        # pre-partition on the window's own keys: satisfies the window's
+        # required clustering (no second exchange) while pinning the sort
+        # width
+        exploded = exploded.repartition(
+            band_partitions, "__band_idx__", "__band_val__"
+        )
     edges = lsh_star_edges(exploded).observe(
         "minhash_edges", F.count(F.lit(1)).alias("n_edges")
     )

@@ -221,6 +221,7 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
                 check_false_positive=algo.check_false_positive,
                 skip_filtering=True,
                 max_cluster_verify=max_cluster_verify,
+                band_partitions=algo.band_partitions,
             )
             return res.docs
 

@@ -53,7 +53,13 @@ kernel = MinHashKernel(num_perm=128, ngram_size=2, min_length=5, threshold=0.5)
 # and it applies identically to both legs)
 spark.range(cpus * 2).repartition(cpus * 2).mapInPandas(lambda it: it, "id long").count()
 t0 = time.time()
-res = minhash_dedup(df, kernel, id_col="doc_id", repartition_input=cpus * 4)
+# partition counts identical in BOTH legs (the only variable between legs
+# must be parallelism). band_partitions=64 -> ~8 MB sort partitions for
+# the 1M-doc band exchange, the concurrency-safe sort width (see
+# minhash_dedup docstring); input at 64 gives every leg the same task
+# granularity for the fingerprint UDF.
+res = minhash_dedup(df, kernel, id_col="doc_id", repartition_input=64,
+                    band_partitions=64)
 kept = res.kept.count()
 wall = time.time() - t0
 print(json.dumps({{"cpus": cpus, "docs": n, "kept": kept, "wall_sec": round(wall, 2),
@@ -111,27 +117,48 @@ def run_at(cpus: int) -> dict:
 
 
 def main() -> None:
+    """argv: [n_docs] [n_small] [n_large] [repeats].
+
+    With repeats > 1, each leg runs `repeats` times (alternating small/large
+    so slow host-steal drift hits both legs equally) and the pair result
+    uses each leg's MEDIAN throughput — single pairs on this virtualized
+    box swing up to ~35% (BENCH.md host-variance note), which is larger
+    than the efficiency margin being measured."""
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     ensure_corpus(n_docs)
-    results = {}
-    for cpus in (n_small, n_large):
-        t0 = time.time()
-        results[cpus] = run_at(cpus)
-        print(f"# local[{cpus}]: {results[cpus]} (total {time.time()-t0:.0f}s)", file=sys.stderr)
+    runs: dict[int, list[dict]] = {n_small: [], n_large: []}
+    for r in range(repeats):
+        for cpus in (n_small, n_large):
+            t0 = time.time()
+            res = run_at(cpus)
+            runs[cpus].append(res)
+            print(
+                f"# run {r + 1}/{repeats} local[{cpus}]: {res} "
+                f"(total {time.time() - t0:.0f}s)",
+                file=sys.stderr,
+            )
+
+    def median_run(rs: list[dict]) -> dict:
+        rs = sorted(rs, key=lambda x: x["docs_per_sec"])
+        return rs[len(rs) // 2]
+
+    small, large = median_run(runs[n_small]), median_run(runs[n_large])
     ratio = n_large / n_small
-    eff = (results[n_large]["docs_per_sec"] / results[n_small]["docs_per_sec"]) / ratio
+    eff = (large["docs_per_sec"] / small["docs_per_sec"]) / ratio
     print(
         json.dumps(
             {
                 "metric": f"minhash dedup scaling local[{n_small}] -> local[{n_large}]",
                 "n_docs": n_docs,
-                f"local{n_small}": results[n_small],
-                f"local{n_large}": results[n_large],
-                "speedup": round(
-                    results[n_large]["docs_per_sec"] / results[n_small]["docs_per_sec"], 3
-                ),
+                "repeats": repeats,
+                f"local{n_small}": small,
+                f"local{n_large}": large,
+                f"local{n_small}_all_docs_per_sec": [x["docs_per_sec"] for x in runs[n_small]],
+                f"local{n_large}_all_docs_per_sec": [x["docs_per_sec"] for x in runs[n_large]],
+                "speedup": round(large["docs_per_sec"] / small["docs_per_sec"], 3),
                 "scaling_efficiency": round(eff, 3),
             }
         )
