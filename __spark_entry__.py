@@ -169,6 +169,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         _docs(spark, sf_dir)
+        # the sf test inputs are single parquet files -> a one-partition
+        # scan; spread the gram build + the persisted gram cache across the
+        # session's parallelism (at scale, file splits provide this)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .select(F.col("doc_id"), F.split(F.col("text"), " ").alias("toks"))
         .select(F.col("doc_id"), word_ngrams_from_tokens(F.col("toks"), 3).alias("grams"))
     )
