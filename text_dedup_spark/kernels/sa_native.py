@@ -30,6 +30,20 @@ _lib: ctypes.CDLL | None = None
 _load_error: str | None = None
 
 
+def _read_source() -> bytes:
+    """Read sa_native.c from the package — works for a filesystem checkout
+    AND a ``spark-submit --py-files`` zip (zipimport paths are not real
+    files, so fall back to importlib.resources there)."""
+    try:
+        return _SRC.read_bytes()
+    except OSError:
+        from importlib.resources import files
+
+        return (
+            files("text_dedup_spark.kernels").joinpath("sa_native.c").read_bytes()
+        )
+
+
 def _cache_dir() -> Path:
     d = Path(tempfile.gettempdir()) / f"text_dedup_spark_native_{os.getuid()}"
     d.mkdir(parents=True, exist_ok=True)
@@ -37,16 +51,23 @@ def _cache_dir() -> Path:
 
 
 def _build_or_load() -> ctypes.CDLL:
-    src = _SRC.read_bytes()
+    src = _read_source()
     tag = hashlib.sha256(src).hexdigest()[:16]
     so_path = _cache_dir() / f"sa_native_{tag}.so"
     if not so_path.exists():
+        # compile from a cache-dir copy, not _SRC: inside a --py-files zip
+        # the package path is not a real file the compiler can open
+        src_path = _cache_dir() / f"sa_native_{tag}.c"
+        if not src_path.exists():
+            stmp = src_path.with_suffix(f".{os.getpid()}.ctmp")
+            stmp.write_bytes(src)
+            os.replace(stmp, src_path)
         cc = os.environ.get("CC", "cc")
         tmp = so_path.with_suffix(f".{os.getpid()}.tmp")
         # -march=native is safe because the build is per-machine (cache dir
         # is local); a prebuilt .so shipped to heterogeneous nodes should be
         # compiled without it. Retry portable flags if the compiler balks.
-        base = ["-shared", "-fPIC", "-o", str(tmp), str(_SRC)]
+        base = ["-shared", "-fPIC", "-o", str(tmp), str(src_path)]
         try:
             subprocess.run(
                 [cc, "-O3", "-march=native"] + base,

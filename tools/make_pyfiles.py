@@ -23,8 +23,12 @@ def build(out: Path) -> None:
     out.parent.mkdir(parents=True, exist_ok=True)
     pkg = REPO / "text_dedup_spark"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for py in sorted(pkg.rglob("*.py")):
-            zf.write(py, py.relative_to(REPO))
+        # *.c: the suffix-array SA-IS kernel ships as SOURCE and compiles
+        # on first use per executor (ctypes loader, sa_native.py); without
+        # it executors silently fall back to the numpy kernel — correct
+        # but ~8x slower on suffix dedup
+        for src in sorted(pkg.rglob("*.py")) + sorted(pkg.rglob("*.c")):
+            zf.write(src, src.relative_to(REPO))
     names = zipfile.ZipFile(out).namelist()
     print(f"wrote {out} ({len(names)} files)")
 
