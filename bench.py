@@ -110,16 +110,28 @@ def _skew_guard_leg(spark, sf_dir: str) -> dict:
     )
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = base.count()
-    # every 2nd doc becomes the same boilerplate page (tiny tail variation):
-    # one giant near-dup cluster -> hot buckets in every permutation table
+    # every 2nd doc becomes the boilerplate page with a DISTINCT doc-id tail:
+    # n/2 distinct near-miss signatures sharing hot buckets in every
+    # permutation table. (Identical-text floods are contracted to one node
+    # before the bucket join — simhash_dedup's exact-duplicate signature
+    # contraction — so only distinct near-misses exercise the cap.)
     docs = base.select(
         "doc_id",
-        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit(boiler))
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(F.lit(boiler + " tail"), F.col("doc_id").cast("string")),
+        )
         .otherwise(F.col("text"))
         .alias("text"),
     )
     kernel = SimHashKernel(f=64, bit_diff=3, num_bucket=4, ngram_size=3, min_length=5)
-    cap = max(100, n_docs // 20)  # well below the planted n_docs/2 hot bucket
+    # Post-contraction, a bucket holds DISTINCT signatures only, and the
+    # signature space within small Hamming distance of one page is bounded
+    # (C(64, <=2) ~ 2k), so planted floods scatter to ~n/16 per masked
+    # region rather than n; the realistic hazard the cap bounds is average
+    # bucket load (n_distinct / 2^mask_bits) at web scale. Cap below the
+    # planted distinct-sig bucket sizes so the guard demonstrably fires.
+    cap = max(10, n_docs // 80)
 
     t0 = time.time()
     obs = Observation("bench_skew_cap")

@@ -24,7 +24,11 @@ def boilerplate_corpus(spark):
         return " ".join(words[i] for i in rng.randint(0, 400, size=n))
 
     boiler = doc(60)
-    rows = [(i, boiler + f" tail{i % 3}") for i in range(60)]
+    # DISTINCT per-doc tails: 60 distinct near-miss signatures that still
+    # share buckets (what the cap bounds). Identical-text floods are handled
+    # upstream by the exact-duplicate signature contraction and never reach
+    # the bucket join, so they cannot exercise the cap.
+    rows = [(i, boiler + f" tail{i}") for i in range(60)]
     rows += [(100 + i, doc(rng.randint(40, 90))) for i in range(40)]
     return spark.createDataFrame(rows, "__INDEX__ long, text string")
 

