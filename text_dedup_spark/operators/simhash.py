@@ -71,8 +71,7 @@ def _embed_udf(kernel: SimHashKernel):
     def embed(texts: pd.Series) -> pd.DataFrame:
         m64 = (1 << 64) - 1
         his, los, keys_col = [], [], []
-        for t in texts:
-            sig_bytes, keys = kernel.embed(t if t is not None else "")
+        for sig_bytes, keys in kernel.embed_batch(list(texts)):
             sig = int.from_bytes(sig_bytes, "big")
             lo = sig & m64
             hi = (sig >> 64) & m64
