@@ -166,15 +166,39 @@ def check_false_positives(
     flag is intentionally NOT updated, as in the reference).
 
     ``max_cluster_verify`` (scale guard, default None = reference-faithful):
-    clusters larger than the cap skip pairwise verification and keep their
-    assignment (giant clusters are overwhelmingly exact duplicates; O(m^2)
-    pairs over a 10M-member boilerplate cluster would be 5e13 rows). Bypassed
-    membership is observable via the ``fp_bypassed`` metric — never a silent
-    drop."""
+    clusters with more DISTINCT texts than the cap skip pairwise
+    verification and keep their assignment (identical texts contract before
+    the pair join — see below — so a 10M-member exact-duplicate boilerplate
+    cluster is ONE distinct text and never trips the cap; the cap bounds
+    genuinely-distinct near-miss variety). Bypassed membership is observable
+    via the ``fp_bypassed`` metric — never a silent drop."""
     cand = docs.where(F.col(DUPLICATE_COL)).select(INDEX_COL, text_col, CLUSTER_COL)
+
+    # --- identical-text contraction (lossless) -------------------------
+    # Within a cluster, docs with byte-identical text always verify against
+    # each other (Jaccard(t, t) = 1.0 >= threshold), and every cross-text
+    # pair's Jaccard depends only on the two TEXTS — so the quadratic
+    # pairwise re-check runs over one representative per distinct text, and
+    # a text group is verified iff it has >=2 members or its rep verifies
+    # against some other distinct text. Verified-membership and the min-idx
+    # regroup are computed over the full doc set, so the output is exactly
+    # the reference's (minhash.py:101-170). Boilerplate mega-clusters are
+    # overwhelmingly exact duplicates — the case that made the O(m^2)
+    # verify a scale hazard — and contract to a handful of distinct texts.
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy(CLUSTER_COL, F.sha2(F.col(text_col), 256))
+    cand = cand.withColumn("__trep__", F.min(INDEX_COL).over(wt)).withColumn(
+        "__tsz__", F.count(F.lit(1)).over(wt)
+    )
+
     bypassed = None
     if max_cluster_verify is not None:
-        sizes = cand.groupBy(CLUSTER_COL).agg(F.count(F.lit(1)).alias("__csz__"))
+        # the cap bounds DISTINCT texts per cluster (identical-text floods
+        # are contracted and never inflate the pair count)
+        sizes = cand.where(F.col(INDEX_COL) == F.col("__trep__")).groupBy(
+            CLUSTER_COL
+        ).agg(F.count(F.lit(1)).alias("__csz__"))
         cand_all = cand.join(sizes, CLUSTER_COL)
         bypassed = cand_all.where(F.col("__csz__") > max_cluster_verify).select(
             F.col(INDEX_COL).alias("idx"), F.col(CLUSTER_COL)
@@ -185,12 +209,14 @@ def check_false_positives(
             F.count(F.lit(1)).alias("n_bypassed"),
         )
         cand = cand_all.where(F.col("__csz__") <= max_cluster_verify).drop("__csz__")
-    left = cand.select(
+
+    reps = cand.where(F.col(INDEX_COL) == F.col("__trep__"))
+    left = reps.select(
         F.col(CLUSTER_COL),
         F.col(INDEX_COL).alias("id1"),
         F.col(text_col).alias("t1"),
     )
-    right = cand.select(
+    right = reps.select(
         F.col(CLUSTER_COL),
         F.col(INDEX_COL).alias("id2"),
         F.col(text_col).alias("t2"),
@@ -198,13 +224,24 @@ def check_false_positives(
     pairs = left.join(right, CLUSTER_COL).where(F.col("id1") < F.col("id2"))
     jacc = jaccard_pair_udf(kernel.ngram_size, kernel.min_length)
     verified = pairs.where(jacc(F.col("t1"), F.col("t2")) >= F.lit(kernel.threshold))
-    members = (
-        verified.select(F.col("id1").alias("idx"), F.col(CLUSTER_COL))
-        .union(verified.select(F.col("id2").alias("idx"), F.col(CLUSTER_COL)))
+    verified_reps = (
+        verified.select(F.col("id1").alias("__trep__"))
+        .union(verified.select(F.col("id2").alias("__trep__")))
         .distinct()
+        .withColumn("__v__", F.lit(True))
+    )
+    # a group verifies via size >= 2 (J = 1.0 pairs, iff the threshold is
+    # satisfiable by identity) or via its rep's cross-text pairs. cand is
+    # unique per doc id and bypassed is disjoint from it (opposite __csz__
+    # filter), so no distinct is needed anywhere.
+    auto = F.col("__tsz__") >= 2 if kernel.threshold <= 1.0 else F.lit(False)
+    members = (
+        cand.join(verified_reps, "__trep__", "left")
+        .where(auto | F.col("__v__").isNotNull())
+        .select(F.col(INDEX_COL).alias("idx"), F.col(CLUSTER_COL))
     )
     if bypassed is not None:
-        members = members.unionByName(bypassed).distinct()
+        members = members.unionByName(bypassed)
     new_map = (
         members.join(
             members.groupBy(CLUSTER_COL).agg(F.min("idx").alias("__newc__")), CLUSTER_COL
