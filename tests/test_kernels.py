@@ -293,6 +293,19 @@ class TestSimHash:
             v = int.from_bytes(val, "big")
             assert v & ~m == 0
 
+    def test_fingerprint_batch_null_guard_all_configs(self):
+        """A None text must fingerprint as "" (all-zero sig) in EVERY config
+        branch — the md5 / f=128 fallback used to raise AttributeError on
+        tokenize(None.lower())."""
+        for k in [
+            SimHashKernel(),  # xxh3 f=64 fast path
+            SimHashKernel(hash_func_name="md5"),  # md5 fallback
+            SimHashKernel(f=128, bit_diff=3, num_bucket=4),  # f!=64 fallback
+        ]:
+            sigs = k.fingerprint_batch([None, "the quick brown fox jumps over dogs"])
+            assert sigs[0] == 0
+            assert sigs[1] == k.fingerprint("the quick brown fox jumps over dogs")
+
     def test_similar_docs_low_hamming(self):
         k = SimHashKernel(ngram_size=3, min_length=3)
         a = k.fingerprint("the quick brown fox jumps over the lazy dog near the river bank")

@@ -263,6 +263,34 @@ class TestStreamingDedup:
         with pytest.raises(Exception):
             incremental_minhash_batch(spark, df2, kernel, str(bad)).collect()
 
+    def test_binary_band_store_from_old_revision_raises(self, spark, tmp_path):
+        """Wire-format migration guard: a store whose __band_val__ is the
+        old binary blob format must be rejected by both ingest and
+        reconcile — appending int64 band keys to it would silently miss
+        cross-revision duplicates (old blobs never equal new keys)."""
+        import pytest
+
+        from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+        from text_dedup_spark.streaming.dedup_stream import (
+            incremental_minhash_batch,
+            reconcile_band_store,
+        )
+
+        store = str(tmp_path / "old_binary_store")
+        spark.createDataFrame(
+            [(0, 0, bytearray(b"\x01\x02\x03\x04"), 0)],
+            "__doc_id__ long, __band_idx__ int, __band_val__ binary, cluster_id long",
+        ).write.parquet(store)
+        with pytest.raises(ValueError, match="pre-int64-band-key"):
+            reconcile_band_store(spark, store)
+        kernel = MinHashKernel(num_perm=32, ngram_size=2, min_length=3, threshold=0.5)
+        df = spark.createDataFrame(
+            [(1, "text arriving after the wire format changed under the store")],
+            "__INDEX__ long, text string",
+        )
+        with pytest.raises(ValueError, match="pre-int64-band-key"):
+            incremental_minhash_batch(spark, df, kernel, store)
+
 
 class TestMultimodalToSimilarity:
     def test_media_features_feed_ann_and_dedup(self, spark):

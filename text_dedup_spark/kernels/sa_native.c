@@ -30,10 +30,13 @@
 
 static void bucket_bounds(const int32_t *cnt, int64_t K, int32_t *bkt,
                           int ends) {
-    int32_t sum = 0;
+    /* int64 running sum: at the maximum admitted n (2^31 - 1 plus the
+     * sentinel) an int32 sum would hit signed-overflow UB right at the
+     * documented bound; each bkt[c] itself stays < n and fits int32. */
+    int64_t sum = 0;
     for (int64_t c = 0; c < K; c++) {
         sum += cnt[c];
-        bkt[c] = ends ? sum : sum - cnt[c];
+        bkt[c] = (int32_t)(ends ? sum : sum - cnt[c]);
     }
 }
 

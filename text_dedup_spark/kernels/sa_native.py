@@ -45,8 +45,27 @@ def _read_source() -> bytes:
 
 
 def _cache_dir() -> Path:
-    d = Path(tempfile.gettempdir()) / f"text_dedup_spark_native_{os.getuid()}"
-    d.mkdir(parents=True, exist_ok=True)
+    """Per-user build cache, hardened against tmp-dir squatting: the path is
+    predictable and the source hash is derivable from the public .c file, so
+    a directory pre-created by another local user could plant a .so that
+    ``ctypes.CDLL`` would execute in-process on every executor. Prefer
+    ``$XDG_CACHE_HOME`` (user-owned by construction); under the shared tmp
+    dir, create with 0700 and refuse — degrading to the numpy kernel via the
+    normal load-failure path — unless the entry is a real directory (not a
+    symlink) owned by this uid."""
+    import stat
+
+    xdg = os.environ.get("XDG_CACHE_HOME")
+    root = Path(xdg) if xdg else Path(tempfile.gettempdir())
+    d = root / f"text_dedup_spark_native_{os.getuid()}"
+    d.mkdir(parents=True, exist_ok=True, mode=0o700)
+    st = os.lstat(d)
+    if not stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"refusing native-kernel cache dir {d}: not a directory owned by "
+            f"uid {os.getuid()} (symlink or pre-created by another user)"
+        )
+    os.chmod(d, 0o700)  # tighten a dir created by an older revision's umask
     return d
 
 

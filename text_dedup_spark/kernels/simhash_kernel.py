@@ -219,7 +219,9 @@ class SimHashKernel:
         hashing — measured 2.7x) + per-doc bit votes as one
         ``np.add.reduceat`` segment sum."""
         if self.hash_func_name != "xxh3" or self.f != 64:
-            return [self.fingerprint(c) for c in contents]
+            # same NULL guard as the fast path below: a None text must
+            # fingerprint as "" (all-zero sig), not raise inside tokenize
+            return [self.fingerprint(c if c is not None else "") for c in contents]
         from text_dedup_spark.kernels.xxh3_vec import xxh3_64_batch
 
         sets = [self.shingles(c if c is not None else "") for c in contents]

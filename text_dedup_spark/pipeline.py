@@ -193,6 +193,14 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
 
     cfg_dict = asdict(config)
     docs = stage("ids", {"cfg": cfg_dict, "stage": "ids"}, lambda: _with_ids(read_input(spark, config), config))
+    if algo.profile == "scale" and runner is None and not algo.index_column:
+        # "scale" ids come from monotonically_increasing_id, which is
+        # partition-layout dependent: without the ids-stage checkpoint
+        # (run_dir unset) every downstream action would re-derive ids from
+        # lineage, and a replan or cache eviction between the persisted
+        # fingerprint branch and a recomputed docs branch could silently
+        # mismatch rows to clusters. Freeze them eagerly instead.
+        docs = docs.localCheckpoint(eager=True)
 
     clusters: DataFrame | None = None
     if algo.algorithm_name == "minhash":

@@ -38,6 +38,27 @@ def _store_has_data(spark: SparkSession, band_store_dir: str) -> bool:
     return statuses is not None and len(statuses) > 0
 
 
+def _check_band_store_schema(store: DataFrame, band_store_dir: str) -> None:
+    """Wire-format guard: round 3 changed band values from binary signature
+    blobs to int64 polynomial band keys. A pre-existing binary-valued store
+    appended to by this revision becomes a mixed binary/bigint parquet dir —
+    unreadable at best, and even when readable the old binary postings can
+    never equal a new long key, so cross-revision duplicates would be missed
+    SILENTLY. Fail loudly with the same re-ingest remedy as the __doc_id__
+    migration guard."""
+    from pyspark.sql.types import LongType
+
+    field = next((f for f in store.schema.fields if f.name == "__band_val__"), None)
+    if field is None or not isinstance(field.dataType, LongType):
+        got = field.dataType.simpleString() if field is not None else "missing"
+        raise ValueError(
+            f"band store {band_store_dir} has __band_val__ type {got}, expected "
+            "bigint (written by a pre-int64-band-key revision); re-ingest the "
+            "batches into a fresh store — appending would silently miss "
+            "cross-revision duplicates"
+        )
+
+
 def exact_dedup_stream(
     stream: DataFrame,
     text_col: str = "text",
@@ -101,6 +122,7 @@ def incremental_minhash_batch(
     store_has_data = _store_has_data(spark, band_store_dir)
     if store_has_data:
         store = spark.read.parquet(band_store_dir)
+        _check_band_store_schema(store, band_store_dir)
         matches = (
             bands.join(
                 store.select(
@@ -147,6 +169,7 @@ def reconcile_band_store(spark: SparkSession, band_store_dir: str) -> DataFrame:
     from text_dedup_spark.operators.connected_components import connected_components
 
     store = spark.read.parquet(band_store_dir)
+    _check_band_store_schema(store, band_store_dir)
     if "__doc_id__" not in store.columns:
         raise ValueError(
             f"band store {band_store_dir} lacks the __doc_id__ column (written "
