@@ -29,8 +29,10 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "minhash_dedup_verified",
     "minhash_dedup_md5",
+    "minhash_dedup_verified_md5",
     "simhash_dedup",
     "simhash_dedup_md5",
+    "simhash_dedup_verified_md5",
     "suffix_dedup",
     "embedding_dedup",
     "events_sessionize",
