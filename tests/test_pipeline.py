@@ -143,6 +143,82 @@ class TestCsvJsonInput:
         assert summary["rows_after"] == n_distinct
 
 
+class TestEmbeddingPipeline:
+    """TOML-driven embedding-cosine dedup (algorithm_name = "embedding") —
+    the beyond-reference flagship path, drivable like the four reference
+    pipelines. profile="scale" must resolve candidate_mode "auto" -> "lsh"
+    (never a quadratic block-pair plan)."""
+
+    @staticmethod
+    def _planted_embeddings(spark, path: str, n: int = 120, dim: int = 16):
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        base = rng.randn(n // 3, dim)
+        rows = []
+        for i in range(n):
+            b = base[i % (n // 3)]
+            if i < n // 3:
+                v = b
+            elif i < 2 * n // 3:
+                v = b + rng.randn(dim) * 0.02  # near-dup of its base (cos ~0.999)
+            else:
+                v = rng.randn(dim)
+            v = v / np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v]))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).write.mode("overwrite").parquet(path)
+
+    def test_toml_run_parity_then_scale_profile(self, spark, tmp_path):
+        emb_path = str(tmp_path / "emb")
+        self._planted_embeddings(spark, emb_path)
+        algo = (
+            'algorithm_name = "embedding"\nindex_column = "vec_id"\n'
+            "cosine_threshold = 0.95"
+        )
+        cfgp = write_config(
+            tmp_path, emb_path, algo, str(tmp_path / "out"),
+            extra_output="save_clusters = true",
+        )
+        summary = run_pipeline(load_config(cfgp), spark=spark)
+        # parity keeps "auto" (the size gate resolves to all_pairs inside
+        # cosine_edges — pinned by test_embedding_dedup.test_auto_gate_dispatch)
+        assert summary["embedding_candidate_mode"] == "auto"
+        clusters = spark.read.parquet(str(tmp_path / "out/clusters"))
+        # both members of a cluster are flagged (cc labels include roots):
+        # 40 planted pairs -> ~80 flagged rows, ~40 non-representatives dropped
+        assert clusters.count() >= 2 * 40 * 0.9
+        n_non_rep = clusters.where("id != cluster").count()
+        assert summary["rows_after"] == 120 - n_non_rep  # representatives kept
+
+        cfgp2 = write_config(
+            tmp_path, emb_path, algo + '\nprofile = "scale"',
+            str(tmp_path / "out_scale"), extra_output="save_clusters = true",
+        )
+        s2 = run_pipeline(load_config(cfgp2), spark=spark)
+        assert s2["embedding_candidate_mode"] == "lsh"
+        # deterministic seeded hyperplanes: the LSH run reproduces the exact
+        # clustering on the planted high-cosine corpus
+        got = {
+            (r["id"], r["cluster"])
+            for r in spark.read.parquet(str(tmp_path / "out_scale/clusters")).collect()
+        }
+        want = {(r["id"], r["cluster"]) for r in clusters.collect()}
+        assert got == want
+
+    def test_scale_lsh_plan_has_no_block_pair_stage(self, spark, tmp_path):
+        from text_dedup_spark.functions.embedding_dedup import lsh_cosine_edges
+
+        emb_path = str(tmp_path / "emb2")
+        self._planted_embeddings(spark, emb_path, n=60)
+        df = spark.read.parquet(emb_path)
+        edges = lsh_cosine_edges(df, threshold=0.95, eager=False)
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        # the quadratic path shows up as a grouped-pandas block-pair stage
+        assert "FlatMapGroupsInPandas" not in plan, plan
+
+
 class TestScaleProfileIds:
     def test_scale_profile_skips_global_window(self, spark, input_parquet, tmp_path):
         # under profile="scale" with no index_column, id assignment must not

@@ -71,6 +71,16 @@ class AlgorithmConfig:
     # suffix array
     merge_strategy: str = "longest"
     length_threshold: int = 100
+    # embedding (beyond-reference first-class dedup path; algorithm_name =
+    # "embedding" clusters rows of an embedding column by cosine >= the
+    # threshold — functions.embedding_dedup). candidate_mode: "auto"
+    # (all-pairs at or below all_pairs_gate rows, LSH above), "all_pairs",
+    # or "lsh"; profile="scale" pins "auto" -> "lsh" plus the observable
+    # max_bucket_size cap, so a scale run never plans quadratic block pairs.
+    embedding_column: str = "embedding"
+    cosine_threshold: float = 0.95
+    candidate_mode: str = "auto"
+    all_pairs_gate: int = 200_000
     # --- execution profile ----------------------------------------------
     # "parity": reference-faithful, no skew caps (default).
     # "scale": pins non-None skew guards when unset — max_bucket_size=10000
@@ -135,5 +145,10 @@ def load_config(path: str) -> Config:
     if cfg.algorithm.profile not in ("parity", "scale"):
         raise ValueError(
             f"algorithm.profile must be 'parity' or 'scale', got {cfg.algorithm.profile!r}"
+        )
+    if cfg.algorithm.candidate_mode not in ("auto", "all_pairs", "lsh"):
+        raise ValueError(
+            "algorithm.candidate_mode must be 'auto', 'all_pairs' or 'lsh', "
+            f"got {cfg.algorithm.candidate_mode!r}"
         )
     return cfg

@@ -203,6 +203,7 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
         docs = docs.localCheckpoint(eager=True)
 
     clusters: DataFrame | None = None
+    embedding_candidate_mode: str | None = None
     if algo.algorithm_name == "minhash":
         from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
         from text_dedup_spark.operators.minhash import minhash_dedup
@@ -276,6 +277,46 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
         clusters = assigned.where(F.col(CLUSTER_COL) != F.col(INDEX_COL)).select(
             F.col(INDEX_COL).alias("id"), F.col(CLUSTER_COL).alias("cluster")
         )
+    elif algo.algorithm_name == "embedding":
+        # beyond-reference first-class path: embedding-cosine near-dup
+        # clustering, config-driven like the four reference pipelines.
+        # profile="scale" pins candidate_mode "auto" -> "lsh" (no quadratic
+        # block-pair plan) and the observable max_bucket_size hot-bucket cap.
+        from text_dedup_spark.functions.embedding_dedup import embedding_cosine_dedup
+
+        candidate_mode = algo.candidate_mode
+        if algo.profile == "scale" and candidate_mode == "auto":
+            candidate_mode = "lsh"
+        embedding_candidate_mode = candidate_mode
+
+        def build_assigned():
+            res = embedding_cosine_dedup(
+                docs,
+                threshold=algo.cosine_threshold,
+                id_col=INDEX_COL,
+                vec_col=algo.embedding_column,
+                candidate_mode=candidate_mode,
+                all_pairs_gate=algo.all_pairs_gate,
+                max_bucket_size=(
+                    max_bucket_size if candidate_mode == "lsh" else None
+                ),
+            )
+            labels = res.select(
+                F.col(INDEX_COL),
+                F.col("cluster_id").alias(CLUSTER_COL),
+                F.col("is_dup").cast("boolean").alias(DUPLICATE_COL),
+            )
+            return docs.join(labels, INDEX_COL)
+
+        assigned = stage("assigned", {"cfg": cfg_dict, "stage": "assigned"}, build_assigned)
+        final = (
+            assigned
+            if config.output.skip_filtering
+            else assigned.where(F.col(CLUSTER_COL) == F.col(INDEX_COL))
+        )
+        clusters = assigned.where(F.col(DUPLICATE_COL)).select(
+            F.col(INDEX_COL).alias("id"), F.col(CLUSTER_COL).alias("cluster")
+        )
     elif algo.algorithm_name == "bloom_filter":
         from text_dedup_spark.operators.exact import exact_dedup
 
@@ -338,6 +379,10 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
         "output_dir": str(out),
         "stages": runner.manifest_log if runner else [],
     }
+    if embedding_candidate_mode is not None:
+        # surfaced so callers/tests can assert the scale profile resolved to
+        # the LSH candidate plan (never quadratic block pairs)
+        summary["embedding_candidate_mode"] = embedding_candidate_mode
     return summary
 
 
