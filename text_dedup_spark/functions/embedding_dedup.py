@@ -59,11 +59,37 @@ def cosine_edges(
     driver gate)."""
     if candidate_mode not in ("auto", "all_pairs", "lsh"):
         raise ValueError(f"unknown candidate_mode {candidate_mode!r}")
+    gate_cache = None
     if candidate_mode == "auto":
         if n_rows is None:
-            n_rows = emb.count()
+            # the gate needs a row count (one Spark action). Run it on a
+            # PERSISTED slim (id, vec) projection that then feeds the chosen
+            # path, so the action materializes lineage once instead of
+            # recomputing it — callers who already know the count should
+            # pass n_rows and skip the action entirely.
+            gate_cache = emb.select(F.col(id_col), F.col(vec_col)).persist()
+            emb = gate_cache
+            n_rows = gate_cache.count()
         candidate_mode = "all_pairs" if n_rows <= all_pairs_gate else "lsh"
     if candidate_mode == "lsh":
+        if gate_cache is not None:
+            # the LSH path re-persists its own sketch postings and (by
+            # default) checkpoints eagerly; the slim projection is consumed
+            # exactly once building them, so release it after the call
+            out = lsh_cosine_edges(
+                emb,
+                threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                scale=scale,
+                n_planes=n_planes,
+                n_tables=n_tables,
+                seed=seed,
+                max_bucket_size=max_bucket_size,
+                observation=observation,
+            )
+            gate_cache.unpersist()
+            return out
         return lsh_cosine_edges(
             emb,
             threshold,
@@ -76,6 +102,9 @@ def cosine_edges(
             max_bucket_size=max_bucket_size,
             observation=observation,
         )
+    # all_pairs: the slim projection (when we built one) STAYS persisted — it
+    # is at most all_pairs_gate rows by the gate decision and backs the two
+    # scans (L and R roles) of the lazy block-pair union
     return _all_pairs_cosine_edges(
         emb,
         threshold,
@@ -235,14 +264,18 @@ def _all_pairs_cosine_edges(
     import pandas as pd
 
     spark = emb.sparkSession
-    if n_blocks is None:
-        # pass n_rows when the caller already knows the count — the sizing
-        # count otherwise recomputes the upstream lineage once
-        n_total = emb.count() if n_rows is None else n_rows
-        n_blocks = max(8, math.ceil(n_total / max(1, target_block_rows)))
     q = emb.select(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q")
     )
+    if n_blocks is None:
+        if n_rows is None:
+            # pass n_rows when the caller already knows the count; otherwise
+            # the sizing action runs on the PERSISTED quantized projection,
+            # which the block-pair union scans twice (L and R roles) anyway —
+            # materialize once, never recompute upstream lineage
+            q = q.persist()
+            n_rows = q.count()
+        n_blocks = max(8, math.ceil(n_rows / max(1, target_block_rows)))
     block = F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int")
     q = q.withColumn("block", block)
 
