@@ -95,10 +95,27 @@ def _warmup(spark) -> None:
 
 
 def _skew_guard_leg(spark, sf_dir: str) -> dict:
-    """Pathological boilerplate corpus: every 3rd doc shares one long
-    boilerplate prefix (hot SimHash buckets / giant MinHash cluster).
-    Demonstrates the observable caps at bench scale: capped vs uncapped
-    wall time plus the caps' drop/bypass counts."""
+    """Distinct-near-miss boilerplate flood: the post-contraction hot-bucket
+    hazard. Identical-text floods contract to one node before the bucket
+    join (simhash_dedup's distinct-signature contraction), so what actually
+    stresses the quadratic within-bucket join at web scale is a flood of
+    DISTINCT near-miss signatures — boilerplate pages differing only by a
+    short tail (tracking ids, dates, usernames). Each variant's signature
+    sits within a few bits of the template's, so a large fraction agree on
+    a permutation table's 16-bit masked prefix: hot buckets of hundreds+ of
+    distinct signatures, pair count quadratic in bucket size.
+
+    Construction (tuned against the contraction, measured via kernel probes):
+    a 140-token template concentrates the per-bit vote so variants only
+    flip the template's ~12 marginal bits, and tails of 1-6 UNIQUE tokens
+    spread variants across that flippable subspace — thousands of DISTINCT
+    signatures that still agree on the 16-bit masked prefix in 3 of 4
+    permutation tables (single-token tails collapse to <=256 signatures
+    and the contraction absorbs them — round 3's leg, where the cap cost
+    wall AND dups, the honest artifact BENCH_r03 records). At a 13x flood
+    the quadratic join visibly dominates: measured warm ~1.7x wall win for
+    the cap with ~0.3% dup loss (the closure reconnects most dropped-bucket
+    members through the scattered fourth table + contraction star edges)."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -108,32 +125,39 @@ def _skew_guard_leg(spark, sf_dir: str) -> dict:
     boiler = " ".join(
         f"boilerplate{i} navigation footer copyright terms privacy cookie"
         .split()[i % 7] + str(i)
-        for i in range(80)
+        for i in range(140)
     )
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n_docs = base.count()
-    # every 2nd doc becomes the boilerplate page with a DISTINCT doc-id tail:
-    # n/2 distinct near-miss signatures sharing hot buckets in every
-    # permutation table. (Identical-text floods are contracted to one node
-    # before the bucket join — simhash_dedup's exact-duplicate signature
-    # contraction — so only distinct near-misses exercise the cap.)
-    docs = base.select(
-        "doc_id",
-        F.when(
-            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
-            F.concat(F.lit(boiler + " tail"), F.col("doc_id").cast("string")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+    n_flood = 13 * n_docs
+    tail_toks = F.array(
+        *[
+            F.concat(F.lit("u"), F.col("id").cast("string"), F.lit(f"x{j}"))
+            for j in range(6)
+        ]
     )
+    flood = spark.range(n_flood).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            F.concat_ws(
+                " ", F.slice(tail_toks, F.lit(1), (F.col("id") % 6 + 1).cast("int"))
+            ),
+        ).alias("text"),
+    )
+    docs = (
+        base.unionByName(flood)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .persist()
+    )
+    docs.count()  # materialize so both legs time the dedup, not the union
     kernel = SimHashKernel(f=64, bit_diff=3, num_bucket=4, ngram_size=3, min_length=5)
-    # Post-contraction, a bucket holds DISTINCT signatures only, and the
-    # signature space within small Hamming distance of one page is bounded
-    # (C(64, <=2) ~ 2k), so planted floods scatter to ~n/16 per masked
-    # region rather than n; the realistic hazard the cap bounds is average
-    # bucket load (n_distinct / 2^mask_bits) at web scale. Cap below the
-    # planted distinct-sig bucket sizes so the guard demonstrably fires.
-    cap = max(10, n_docs // 80)
+    # the cap bounds per-bucket pair work at cap^2/2 — the knob a web-scale
+    # run sets from its latency budget, independent of corpus size (hot
+    # bucket size grows with the flood, the cap does not). 512 sits ~100x
+    # above this corpus's average distinct-signature bucket load, so only
+    # genuine outlier buckets are dropped.
+    cap = 512
 
     t0 = time.time()
     obs = Observation("bench_skew_cap")
@@ -147,9 +171,11 @@ def _skew_guard_leg(spark, sf_dir: str) -> dict:
     res_full = simhash_dedup(docs, kernel, id_col="doc_id")
     n_dup_full = res_full.docs.where(F.col("__duplicate__")).count()
     uncapped_sec = round(time.time() - t0, 3)
+    docs.unpersist()
 
     leg = {
         "cap": cap,
+        "n_flood": int(n_flood),
         "capped_sec": capped_sec,
         "uncapped_sec": uncapped_sec,
         "n_buckets_dropped": int(got["n_buckets_dropped"]),

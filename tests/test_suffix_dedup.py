@@ -172,8 +172,26 @@ class TestAnchoredGrouping:
         got = obs.get
         assert got["n_groups_split"] >= 1
         assert got["n_rows_in_split_groups"] >= 100
+        assert got["n_overlap_rows"] >= 1  # boundary docs joined 2 subgroups
         # locality split keeps most of the removable bytes despite splitting
         assert c_removed / l_removed >= 0.6, (c_removed, l_removed)
+
+        # boundary overlap recovers straddling duplicates: the same cap with
+        # the margin disabled must never remove MORE than the overlap run
+        obs0 = Observation("sfx_cap_test_no_ov")
+        capped0 = suffix_array_dedup_anchored(
+            df,
+            length_threshold=100,
+            max_group_bytes=20_000,
+            split_overlap_bytes=0,
+            observation=obs0,
+        )
+        c0_removed = (
+            df.select(F.sum(F.length(F.encode("text", "utf-8")))).first()[0]
+            - capped0.docs.select(F.sum(F.length(F.encode("text", "utf-8")))).first()[0]
+        )
+        assert obs0.get["n_overlap_rows"] == 0
+        assert c_removed >= c0_removed, (c_removed, c0_removed)
 
     def test_winnowing_guarantee(self):
         from text_dedup_spark.kernels.winnowing import winnow_anchors
