@@ -262,15 +262,23 @@ def simhash_dedup(
     # on a 1M-page boilerplate-heavy corpus (a 50k-doc identical-template
     # cluster is ONE node here; the reference's sequential bucket scan,
     # simhash.py:43-71, pays all 1.25e9 pairs).
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("sig_hi", "sig_lo")
-    with_rep = embedded.select(
+    #
+    # Rep selection is a partial-aggregated groupBy + join back, NOT a
+    # window: the map-side combine shrinks the rep exchange to distinct
+    # signatures, AQE broadcasts it when small (the common case — the join
+    # back then moves NO embed rows and plans no sort), and at flood scale
+    # it degrades to the same single hash exchange the window would pay,
+    # minus the window's per-partition sort.
+    sigs = embedded.select(
         F.col(INDEX_COL),
         F.col("__E__.sig_hi").alias("sig_hi"),
         F.col("__E__.sig_lo").alias("sig_lo"),
         F.col("__E__.keys").alias("__keys__"),
-    ).withColumn("__rep__", F.min(INDEX_COL).over(w))
+    )
+    reps = sigs.groupBy("sig_hi", "sig_lo").agg(
+        F.min(INDEX_COL).alias("__rep__")
+    )
+    with_rep = sigs.join(reps, ["sig_hi", "sig_lo"])
     member_edges = with_rep.where(F.col(INDEX_COL) != F.col("__rep__")).select(
         F.col("__rep__").alias("src"), F.col(INDEX_COL).alias("dst")
     )
