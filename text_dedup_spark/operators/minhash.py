@@ -185,6 +185,12 @@ def check_false_positives(
     # the reference's (minhash.py:101-170). Boilerplate mega-clusters are
     # overwhelmingly exact duplicates — the case that made the O(m^2)
     # verify a scale hazard — and contract to a handful of distinct texts.
+    # rep selection stays a WINDOW here (unlike the simhash signature
+    # contraction, which moved to groupBy + AQE-broadcast join): cand
+    # carries the TEXT column for the downstream pair join, so a join-back
+    # would drag the texts through a second exchange and recompute the hash
+    # probe-side — measured 1.3x slower than the single window exchange at
+    # sf0.1 (A/B, median of 4 warm runs).
     from pyspark.sql import Window
 
     wt = Window.partitionBy(CLUSTER_COL, F.sha2(F.col(text_col), 256))
