@@ -348,3 +348,24 @@ class TestSimHashFPVerifyCap:
             if orig_sizes[orig[idx]] <= 2:
                 assert cap[idx] == unc[idx], f"small-cluster doc {idx} diverged"
         assert any(s > 2 for s in orig_sizes.values())
+
+    def test_identical_text_flood_contracts_before_cap(self, spark):
+        """Round-4 contraction (mirrors minhash): the FP-verify cap bounds
+        DISTINCT texts per cluster, so a 30-member exact-duplicate flood is
+        ONE distinct text and must verify (never bypass) under a cap of 5 —
+        observable via n_bypassed == 0."""
+        from pyspark.sql import Observation
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        df = spark.createDataFrame(
+            [(i, base) for i in range(30)], f"{INDEX_COL} long, text string"
+        )
+        kernel = SimHashKernel(ngram_size=3, min_length=5)
+        obs = Observation("simhash_flood_cap")
+        res = simhash_dedup(
+            df, kernel, check_false_positive=True, max_cluster_verify=5,
+            observation=obs,
+        )
+        got = {r[INDEX_COL]: r[CLUSTER_COL] for r in res.docs.collect()}
+        assert got == {i: 0 for i in range(30)}  # all verified into cluster 0
+        assert obs.get["n_bypassed"] == 0

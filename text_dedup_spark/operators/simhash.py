@@ -181,15 +181,35 @@ def simhash_check_false_positives(
     """Intra-cluster pairwise Jaccard -> fresh CC over verified pairs
     (reference ``simhash.py:93-173``). __duplicate__ NOT updated.
 
-    ``max_cluster_verify`` (scale guard, default None = reference-faithful,
-    mirroring minhash.check_false_positives): clusters larger than the cap
-    skip pairwise verification and keep their assignment — O(m^2) pairs
-    over a boilerplate mega-cluster is the quadratic hazard. Bypassed
-    membership is observable via ``n_bypassed``, never silent."""
+    Identical-text contraction (lossless, mirrors
+    ``minhash.check_false_positives``): within a cluster, byte-identical
+    texts always verify against each other (J = 1.0 >= threshold for any
+    threshold <= 1.0) and every cross-text pair's Jaccard depends only on
+    the two TEXTS — so the quadratic pair join runs over one representative
+    per distinct text, and the fresh CC consumes rep->member star edges
+    (for text groups of size >= 2) plus the verified rep-rep pairs: the
+    transitive closure is exactly the all-pairs graph's (pinned by the
+    ``simhash_dedup_verified_md5`` oracle, whose SQL replays plain
+    all-pairs). A 10k-member exact-duplicate cluster is ONE distinct text
+    here, not 5*10^7 Jaccard pairs.
+
+    ``max_cluster_verify`` (scale guard, default None = reference-faithful):
+    clusters with more DISTINCT texts than the cap skip pairwise
+    verification and keep their assignment — identical-text floods never
+    trip it. Bypassed membership is observable via ``n_bypassed``, never
+    silent."""
     cand = docs.where(F.col(DUPLICATE_COL)).select(INDEX_COL, text_col, CLUSTER_COL)
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy(CLUSTER_COL, F.sha2(F.col(text_col), 256))
+    cand = cand.withColumn("__trep__", F.min(INDEX_COL).over(wt))
+
     bypassed = None
     if max_cluster_verify is not None:
-        sizes = cand.groupBy(CLUSTER_COL).agg(F.count(F.lit(1)).alias("__csz__"))
+        # the cap bounds DISTINCT texts per cluster
+        sizes = cand.where(F.col(INDEX_COL) == F.col("__trep__")).groupBy(
+            CLUSTER_COL
+        ).agg(F.count(F.lit(1)).alias("__csz__"))
         cand_all = cand.join(sizes, CLUSTER_COL)
         bypassed = cand_all.where(F.col("__csz__") > max_cluster_verify).select(
             F.col(INDEX_COL).alias("idx"), F.col(CLUSTER_COL)
@@ -199,17 +219,30 @@ def simhash_check_false_positives(
             F.count(F.lit(1)).alias("n_bypassed"),
         )
         cand = cand_all.where(F.col("__csz__") <= max_cluster_verify).drop("__csz__")
-    left = cand.select(
+    reps = cand.where(F.col(INDEX_COL) == F.col("__trep__"))
+    left = reps.select(
         F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id1"), F.col(text_col).alias("t1")
     )
-    right = cand.select(
+    right = reps.select(
         F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id2"), F.col(text_col).alias("t2")
     )
     pairs = left.join(right, CLUSTER_COL).where(F.col("id1") < F.col("id2"))
     jacc = jaccard_pair_udf(kernel.ngram_size, kernel.min_length)
     verified = pairs.where(jacc(F.col("t1"), F.col("t2")) >= F.lit(jaccard_threshold))
+    # star edges reconnect identical-text members to their rep (valid iff
+    # identity satisfies the threshold, i.e. threshold <= 1.0)
+    star = (
+        cand.where(F.col(INDEX_COL) != F.col("__trep__")).select(
+            F.col("__trep__").alias("src"), F.col(INDEX_COL).alias("dst")
+        )
+        if jaccard_threshold <= 1.0
+        else cand.limit(0).select(
+            F.col(INDEX_COL).alias("src"), F.col(INDEX_COL).alias("dst")
+        )
+    )
     new_map = connected_components(
         verified.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionByName(star)
     )
     if bypassed is not None:
         # bypassed clusters keep their assignment verbatim; their min-id
