@@ -94,7 +94,9 @@ def _explode_bands(filtered: DataFrame, kernel: MinHashKernel) -> DataFrame:
 
 def jaccard_pair_udf(ngram_size: int, min_length: int):
     """Pairwise shingle-set Jaccard (reference ``minhash.py:108-145`` /
-    ``utils/jaccard.py``), Arrow-batched."""
+    ``utils/jaccard.py``), Arrow-batched. Test-oracle / compatibility path:
+    the FP-verify operators use ``gram_set_udf`` + ``jaccard_ge_expr``
+    instead (one tokenize per doc, JVM set ops per pair)."""
 
     @F.pandas_udf(DoubleType())
     def jacc(t1: pd.Series, t2: pd.Series) -> pd.Series:
@@ -109,6 +111,39 @@ def jaccard_pair_udf(ngram_size: int, min_length: int):
         )
 
     return jacc
+
+
+def gram_set_udf(ngram_size: int, min_length: int):
+    """Per-doc distinct shingle strings (reference tokenize+shingles, ONE
+    Python pass per doc). The pairwise Jaccard then runs JVM-side
+    (``jaccard_ge_expr``) — the quadratic part of FP verification stays in
+    whole-stage codegen instead of re-tokenizing both texts per PAIR."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def grams(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [g.decode("utf-8") for g in shingles(t or "", ngram_size, min_length)]
+                for t in texts
+            ]
+        )
+
+    return grams
+
+
+def jaccard_ge_expr(g1, g2, threshold: float):
+    """JVM column expression for ``jaccard_similarity(set1, set2) >=
+    threshold`` over distinct-gram arrays: one int->double division and the
+    same IEEE-754 comparison the Python kernel performs, so results are
+    bit-identical; the reference's empty-union -> 1.0 convention folds into
+    a constant on the threshold."""
+    inter = F.size(F.array_intersect(g1, g2))
+    uni = F.size(g1) + F.size(g2) - inter
+    cond = inter.cast("double") / uni >= F.lit(float(threshold))
+    if threshold <= 1.0:
+        return (uni == F.lit(0)) | cond
+    return (uni > F.lit(0)) & cond
 
 
 def minhash_fingerprint(df: DataFrame, kernel: MinHashKernel, text_col: str = "text") -> DataFrame:
@@ -216,20 +251,25 @@ def check_false_positives(
         )
         cand = cand_all.where(F.col("__csz__") <= max_cluster_verify).drop("__csz__")
 
-    reps = cand.where(F.col(INDEX_COL) == F.col("__trep__"))
+    # one gram pass per rep, then JVM array_intersect Jaccard per pair —
+    # the O(pairs) cost runs in whole-stage codegen, not Python
+    reps = cand.where(F.col(INDEX_COL) == F.col("__trep__")).withColumn(
+        "__G__", gram_set_udf(kernel.ngram_size, kernel.min_length)(F.col(text_col))
+    )
     left = reps.select(
         F.col(CLUSTER_COL),
         F.col(INDEX_COL).alias("id1"),
-        F.col(text_col).alias("t1"),
+        F.col("__G__").alias("g1"),
     )
     right = reps.select(
         F.col(CLUSTER_COL),
         F.col(INDEX_COL).alias("id2"),
-        F.col(text_col).alias("t2"),
+        F.col("__G__").alias("g2"),
     )
     pairs = left.join(right, CLUSTER_COL).where(F.col("id1") < F.col("id2"))
-    jacc = jaccard_pair_udf(kernel.ngram_size, kernel.min_length)
-    verified = pairs.where(jacc(F.col("t1"), F.col("t2")) >= F.lit(kernel.threshold))
+    verified = pairs.where(
+        jaccard_ge_expr(F.col("g1"), F.col("g2"), kernel.threshold)
+    )
     verified_reps = (
         verified.select(F.col("id1").alias("__trep__"))
         .union(verified.select(F.col("id2").alias("__trep__")))

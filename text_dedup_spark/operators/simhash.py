@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
 from text_dedup_spark.operators.connected_components import connected_components
 from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL, INDEX_COL
-from text_dedup_spark.operators.minhash import jaccard_pair_udf
+from text_dedup_spark.operators.minhash import gram_set_udf, jaccard_ge_expr
 
 
 @dataclass
@@ -219,16 +219,21 @@ def simhash_check_false_positives(
             F.count(F.lit(1)).alias("n_bypassed"),
         )
         cand = cand_all.where(F.col("__csz__") <= max_cluster_verify).drop("__csz__")
-    reps = cand.where(F.col(INDEX_COL) == F.col("__trep__"))
+    # one gram pass per rep, then JVM array_intersect Jaccard per pair
+    # (bit-identical to the Python kernel — see jaccard_ge_expr)
+    reps = cand.where(F.col(INDEX_COL) == F.col("__trep__")).withColumn(
+        "__G__", gram_set_udf(kernel.ngram_size, kernel.min_length)(F.col(text_col))
+    )
     left = reps.select(
-        F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id1"), F.col(text_col).alias("t1")
+        F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id1"), F.col("__G__").alias("g1")
     )
     right = reps.select(
-        F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id2"), F.col(text_col).alias("t2")
+        F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id2"), F.col("__G__").alias("g2")
     )
     pairs = left.join(right, CLUSTER_COL).where(F.col("id1") < F.col("id2"))
-    jacc = jaccard_pair_udf(kernel.ngram_size, kernel.min_length)
-    verified = pairs.where(jacc(F.col("t1"), F.col("t2")) >= F.lit(jaccard_threshold))
+    verified = pairs.where(
+        jaccard_ge_expr(F.col("g1"), F.col("g2"), jaccard_threshold)
+    )
     # star edges reconnect identical-text members to their rep (valid iff
     # identity satisfies the threshold, i.e. threshold <= 1.0)
     star = (
