@@ -214,16 +214,52 @@ def ivf_topk(
     queries = q.select(
         F.explode("probes").alias("cid"), F.col("vec_id"), F.col("q").alias("qa")
     )
-    cands = (
-        queries.join(lists, "cid")
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        # no dedup needed: each neighbor lives in exactly ONE inverted list
-        # and a query's probed cids are distinct, so a (vec, neighbor) pair
-        # joins at most once — unlike the LSH path where tables overlap
-        .select("vec_id", "neighbor_id", "qa", "qb")
-    )
-    scored = cands.select(
-        "vec_id", "neighbor_id", int_dot(F.col("qa"), F.col("qb")).alias("dot")
+
+    # Per-list rerank as a cogrouped int64 GEMM: one numpy matmul per
+    # inverted list scores every (probing query x member) pair at once —
+    # int64 matmul is EXACT for quantized values (|dot| <= dim * scale^2
+    # ~ 2.6e8, far under 2^63), so results are identical to the former
+    # per-pair `aggregate(zip_with(...))` expression, which materialized a
+    # 64-element array per candidate pair and dominated the query (~3x
+    # slower at sf0.1). Each group emits only its local top-k per query
+    # (same (dot DESC, neighbor ASC) order), so the global merge window
+    # sees <= nprobe*k rows per query. No dedup needed: each neighbor
+    # lives in exactly ONE inverted list and a query's probed cids are
+    # distinct, so a (vec, neighbor) pair appears in at most one group.
+    import pandas as pd
+
+    def rerank(left, right):
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "dot": []}).astype(
+                "int64"
+            )
+        A = np.array(left["qa"].tolist(), dtype=np.int64)
+        B = np.array(right["qb"].tolist(), dtype=np.int64)
+        qids = left["vec_id"].to_numpy()
+        nids = right["neighbor_id"].to_numpy()
+        dots = A @ B.T
+        # (dot DESC, neighbor ASC): lexsort keys are last-key-primary
+        order = np.lexsort((nids[None, :].repeat(len(A), 0), -dots), axis=1)
+        out_q, out_n, out_d = [], [], []
+        for i in range(len(A)):
+            taken = 0
+            for j in order[i]:
+                if nids[j] == qids[i]:
+                    continue
+                out_q.append(qids[i])
+                out_n.append(nids[j])
+                out_d.append(dots[i, j])
+                taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame(
+            {"vec_id": out_q, "neighbor_id": out_n, "dot": out_d}
+        ).astype("int64")
+
+    scored = (
+        queries.groupBy("cid")
+        .cogroup(lists.groupBy("cid"))
+        .applyInPandas(rerank, "vec_id long, neighbor_id long, dot long")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     result = (
