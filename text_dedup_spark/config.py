@@ -93,6 +93,11 @@ class AlgorithmConfig:
     # size so partitions stay well under ~16 MB of sort input — see
     # operators.minhash.minhash_dedup). None = session shuffle partitions.
     band_partitions: int | None = None
+    # MinHash star-edge physical form: None resolves per profile ("window"
+    # under parity — one exchange; "salted" under scale — fingerprint
+    # contraction + salted two-phase groupBy-min + AQE-skew join-back, so
+    # the hottest band never lands whole in one task). Explicit values win.
+    band_edges_mode: str | None = None
     # --- reference drop-in compatibility fields -------------------------
     # Every shipped reference TOML parses unmodified. These knobs configure
     # the reference's single-node execution and have no Spark meaning (or a
@@ -150,5 +155,10 @@ def load_config(path: str) -> Config:
         raise ValueError(
             "algorithm.candidate_mode must be 'auto', 'all_pairs' or 'lsh', "
             f"got {cfg.algorithm.candidate_mode!r}"
+        )
+    if cfg.algorithm.band_edges_mode not in (None, "window", "salted"):
+        raise ValueError(
+            "algorithm.band_edges_mode must be 'window' or 'salted', "
+            f"got {cfg.algorithm.band_edges_mode!r}"
         )
     return cfg

@@ -16,9 +16,11 @@ Scale design (SURVEY.md §7.5):
 - The reference's band self-join (``minhash.py:59-65``) is O(m^2) per band
   group; we emit star edges (band-min -> member) instead — identical
   transitive closure, linear output.
-- ``groupBy(band).agg(min,count)`` is safe under hot-band skew because
-  Spark's partial (map-side) aggregation bounds per-reducer rows at
-  #map-tasks per key; the join back to members is AQE-skew-split.
+- Two physical forms of the star-edge step: ``lsh_star_edges`` (window-min,
+  ONE exchange — fastest at bench scale, but a hot band key lands whole in
+  a single sort task) and ``lsh_star_edges_salted`` (salted two-phase
+  groupBy-min + AQE-skew-split join-back — per-reducer rows bounded under
+  arbitrarily hot bands; the scale profile's default). See each docstring.
 - No collect_list anywhere; no driver-side maps. Cluster assignment is a
   shuffle join, broadcastable automatically when the cluster map is small.
 """
@@ -176,6 +178,80 @@ def lsh_star_edges(exploded: DataFrame) -> DataFrame:
     )
 
 
+def lsh_star_edges_salted(exploded: DataFrame, salt_buckets: int = 64) -> DataFrame:
+    """Hot-band-safe star edges: salted two-phase min-aggregation + AQE
+    join-back (SURVEY.md §7.5's "salted groupBy" form; north-star scale
+    requirement). Same edge set as ``lsh_star_edges`` — min() is
+    associative, so min-of-per-salt-mins is the band minimum.
+
+    Why the window form can't serve 10^12 docs: a window partitioned by
+    band key hashes every row of one band into ONE task's sort. Web corpora
+    put 10^7-10^9 exact copies of boilerplate pages in the same band
+    (FIXTURES.md F1 plants exactly this), so the hottest task scales with
+    the largest duplicate group — unbounded. Here instead:
+
+    1. ``groupBy(band, salt=xxhash64(id)%S).min(id)`` — reducer rows per
+       (band, salt) key are already bounded at #map-tasks by partial
+       (map-side) aggregation; the explicit salt additionally caps the
+       per-key fan-in at S-way when a future non-algebraic aggregate
+       replaces min, and spreads phase-2's input S-ways.
+    2. ``groupBy(band).min`` over the per-salt minima — <= S rows per band.
+    3. join the band roots back to the exploded rows — the probe side's hot
+       band partitions are AQE-skew-SPLIT (OptimizeSkewedJoin duplicates
+       the one-row-per-band build side per split), so no task exceeds the
+       skew threshold regardless of band heat.
+
+    Three exchanges vs the window's one — at bench scale the window wins
+    (see ``minhash_dedup.band_edges_mode``); under the scale profile this
+    form is pinned, because the window's worst task is O(hottest band) and
+    this one's is O(skew-split threshold)."""
+    salt = F.pmod(F.xxhash64(F.col(INDEX_COL)), F.lit(salt_buckets)).alias("__salt__")
+    per_salt = (
+        exploded.select("__band_idx__", "__band_val__", F.col(INDEX_COL), salt)
+        .groupBy("__band_idx__", "__band_val__", "__salt__")
+        .agg(F.min(INDEX_COL).alias("__m__"))
+    )
+    roots = per_salt.groupBy("__band_idx__", "__band_val__").agg(
+        F.min("__m__").alias("__root__")
+    )
+    return (
+        exploded.join(roots, ["__band_idx__", "__band_val__"])
+        .where(F.col(INDEX_COL) != F.col("__root__"))
+        .select(F.col("__root__").alias("src"), F.col(INDEX_COL).alias("dst"))
+    )
+
+
+def contract_identical_fingerprints(
+    filtered: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical fingerprints (== identical band arrays) to
+    one representative BEFORE the band explode: returns ``(rep_rows,
+    contraction_edges)`` where ``rep_rows`` is (id, __BANDS__) with one row
+    per distinct fingerprint and ``contraction_edges`` is (src=rep-min-id,
+    dst=member) star edges. Exact duplicates share every band, so routing
+    only the representative through explode + band exchange removes the
+    largest duplicate group from the hottest band entirely — the band
+    phase's row count drops from n*b to n_distinct*b, and the transitive
+    closure over (contraction edges UNION band star edges) is identical to
+    running all members through the bands.
+
+    Grouping key is ``xxhash64(__BANDS__)`` (collision ~2^-64 — the same
+    absorbed risk class as the int64 band keys themselves; an FP-verify run
+    re-checks any merged pair against real text). The min-rep map comes
+    from a partial-agg-safe groupBy; the join-back is AQE-skew-split, so a
+    10M-copy boilerplate group never concentrates in one task."""
+    fp = filtered.withColumn("__fph__", F.xxhash64(F.col("__BANDS__")))
+    rep_map = fp.groupBy("__fph__").agg(F.min(INDEX_COL).alias("__rep__"))
+    joined = fp.join(rep_map, "__fph__")
+    contraction_edges = joined.where(F.col(INDEX_COL) != F.col("__rep__")).select(
+        F.col("__rep__").alias("src"), F.col(INDEX_COL).alias("dst")
+    )
+    rep_rows = joined.where(F.col(INDEX_COL) == F.col("__rep__")).select(
+        INDEX_COL, "__BANDS__"
+    )
+    return rep_rows, contraction_edges
+
+
 def assign_clusters(docs: DataFrame, mapping: DataFrame) -> DataFrame:
     """Left-join cluster assignment: cluster = parents.get(idx, idx),
     __duplicate__ = idx in parents (reference ``minhash.py:82-98``)."""
@@ -314,6 +390,7 @@ def minhash_dedup(
     cc_driver_threshold: int = 5_000_000,
     max_cluster_verify: int | None = None,
     band_partitions: int | None = None,
+    band_edges_mode: str = "window",
     observation=None,
 ) -> MinHashDedupResult:
     """End-to-end MinHash dedup. ``df`` must already carry a unique long id
@@ -331,7 +408,18 @@ def minhash_dedup(
     Size so partitions land well under that (rows*20B / band_partitions);
     an explicit count here survives AQE's parallelism-first coalescing,
     which would otherwise merge the sort back to defaultParallelism-sized
-    partitions. None = session ``spark.sql.shuffle.partitions``."""
+    partitions. None = session ``spark.sql.shuffle.partitions``.
+
+    ``band_edges_mode``: ``"window"`` (default — one exchange, fastest when
+    no band is pathologically hot) or ``"salted"`` (identical-fingerprint
+    contraction + salted two-phase groupBy-min + AQE-skew-split join-back —
+    worst task bounded regardless of band heat; the scale profile pins
+    this). Cluster assignments are identical between modes (min is
+    associative; contraction preserves the transitive closure)."""
+    if band_edges_mode not in ("window", "salted"):
+        raise ValueError(
+            f"band_edges_mode must be 'window' or 'salted', got {band_edges_mode!r}"
+        )
     docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
     if repartition_input:
         docs = docs.repartition(repartition_input, F.col(INDEX_COL))
@@ -356,15 +444,21 @@ def minhash_dedup(
     )
     filtered = with_bands.where(F.col("__BANDS__").isNotNull())
 
-    exploded = _explode_bands(filtered, kernel)
-    if band_partitions:
-        # pre-partition on the window's own keys: satisfies the window's
-        # required clustering (no second exchange) while pinning the sort
-        # width
-        exploded = exploded.repartition(
-            band_partitions, "__band_idx__", "__band_val__"
-        )
-    edges = lsh_star_edges(exploded).observe(
+    if band_edges_mode == "salted":
+        rep_rows, contraction_edges = contract_identical_fingerprints(filtered)
+        exploded = _explode_bands(rep_rows, kernel)
+        edges = lsh_star_edges_salted(exploded).unionByName(contraction_edges)
+    else:
+        exploded = _explode_bands(filtered, kernel)
+        if band_partitions:
+            # pre-partition on the window's own keys: satisfies the window's
+            # required clustering (no second exchange) while pinning the sort
+            # width
+            exploded = exploded.repartition(
+                band_partitions, "__band_idx__", "__band_val__"
+            )
+        edges = lsh_star_edges(exploded)
+    edges = edges.observe(
         "minhash_edges", F.count(F.lit(1)).alias("n_edges")
     )
     mapping = connected_components(edges, driver_threshold=cc_driver_threshold)

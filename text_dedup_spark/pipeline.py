@@ -172,12 +172,15 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
     max_bucket_size = algo.max_bucket_size
     max_cluster_verify = algo.max_cluster_verify
     max_group_bytes = None
+    band_edges_mode = algo.band_edges_mode or "window"
     if algo.profile == "scale":
         max_bucket_size = 10_000 if max_bucket_size is None else max_bucket_size
         max_cluster_verify = (
             1_000 if max_cluster_verify is None else max_cluster_verify
         )
         max_group_bytes = 64 << 20  # bound per-task suffix-array corpora
+        # hot-band-safe star edges (salted groupBy-min + AQE join-back)
+        band_edges_mode = algo.band_edges_mode or "salted"
     t0 = time.time()
 
     runner = None
@@ -231,6 +234,7 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
                 skip_filtering=True,
                 max_cluster_verify=max_cluster_verify,
                 band_partitions=algo.band_partitions,
+                band_edges_mode=band_edges_mode,
             )
             return res.docs
 
@@ -383,6 +387,9 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
         # surfaced so callers/tests can assert the scale profile resolved to
         # the LSH candidate plan (never quadratic block pairs)
         summary["embedding_candidate_mode"] = embedding_candidate_mode
+    if algo.algorithm_name == "minhash":
+        # same contract: tests assert scale resolves to the salted form
+        summary["band_edges_mode"] = band_edges_mode
     return summary
 
 
