@@ -60,25 +60,19 @@ def jaccard_pairs_prefix(
 
     # Candidate generation runs on xxhash64 GRAM KEYS, not strings: the
     # postings index / df ranking / prefix join shuffle and sort 8-byte
-    # longs instead of ~20-byte grams (~1.7x on the candidate phase at
-    # sf0.1). STILL LOSSLESS: a hash collision only MERGES two elements,
-    # which can shrink set sizes and grow intersections — hashed-set
-    # Jaccard >= string-set Jaccard — so the prefix theorem over hashed
-    # sets yields a candidate SUPERSET, and verification below is exact
-    # integer intersection over the original STRING arrays. Prefix length
-    # and the size-ratio bound therefore use the hashed-set size ``sz``
-    # (per-doc collisions dedup via array_distinct).
-    hashed = sized.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(F.col(grams_col), lambda g: F.xxhash64(g))
-        ).alias("__hg__"),
-    )
-    postings = hashed.select(
-        F.col(id_col),
-        F.size("__hg__").cast("bigint").alias("sz"),
-        F.explode("__hg__").alias("gram"),
-    )
+    # longs instead of ~20-byte grams. The hash applies AFTER the explode —
+    # one scalar xxhash64 per posting inside the same codegen stage, no
+    # per-doc array transform (an earlier array_distinct(transform(...))
+    # form re-materialized hashed arrays on both postings consumers and
+    # measured ~20% SLOWER than plain strings at sf0.1). STILL LOSSLESS:
+    # prefix length and the size-ratio bound use the STRING set size ``sz``;
+    # an intra-doc hash collision (~2^-64) duplicates a posting key, which
+    # can only lengthen the retained prefix — a candidate SUPERSET either
+    # way — and verification below is exact integer intersection over the
+    # original string arrays, so a false pair can never be emitted.
+    postings = sized.select(
+        F.col(id_col), F.col("sz"), F.explode(grams_col).alias("__g__")
+    ).select(F.col(id_col), F.col("sz"), F.xxhash64("__g__").alias("gram"))
     freq = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     if max_gram_df is not None:
         flagged = freq.withColumn("__hot__", F.col("df") > max_gram_df)
