@@ -59,7 +59,7 @@ t0 = time.time()
 # minhash_dedup docstring); input at 64 gives every leg the same task
 # granularity for the fingerprint UDF.
 res = minhash_dedup(df, kernel, id_col="doc_id", repartition_input=64,
-                    band_partitions=64)
+                    band_partitions=64, band_edges_mode="{mode}")
 kept = res.kept.count()
 wall = time.time() - t0
 print(json.dumps({{"cpus": cpus, "docs": n, "kept": kept, "wall_sec": round(wall, 2),
@@ -101,8 +101,8 @@ def ensure_corpus(n_docs: int) -> None:
     marker.write_text(str(n_docs))
 
 
-def run_at(cpus: int) -> dict:
-    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, data=DATA)
+def run_at(cpus: int, mode: str = "window") -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, data=DATA, mode=mode)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -128,12 +128,16 @@ def main() -> None:
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    # argv[5]: star-edge form ("window" parity default / "salted" scale
+    # profile) — lets the north-rule scaling evidence cover the form a
+    # real web-scale run would use
+    mode = sys.argv[5] if len(sys.argv) > 5 else "window"
     ensure_corpus(n_docs)
     runs: dict[int, list[dict]] = {n_small: [], n_large: []}
     for r in range(repeats):
         for cpus in (n_small, n_large):
             t0 = time.time()
-            res = run_at(cpus)
+            res = run_at(cpus, mode)
             runs[cpus].append(res)
             print(
                 f"# run {r + 1}/{repeats} local[{cpus}]: {res} "
@@ -152,6 +156,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"minhash dedup scaling local[{n_small}] -> local[{n_large}]",
+                "band_edges_mode": mode,
                 "n_docs": n_docs,
                 "repeats": repeats,
                 f"local{n_small}": small,
