@@ -57,6 +57,7 @@ def main() -> None:
     queries = entry_mod.queries()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     _warmup(spark)
+    cpu_before = _cpu_sample()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -83,9 +84,38 @@ def main() -> None:
         "skew_guard": skew,
         "setsim_gram_cap": setsim_cap,
         "band_salt": band_salt,
+        "host_cpu": _cpu_delta(cpu_before),
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _cpu_sample() -> list[int] | None:
+    """Aggregate /proc/stat jiffies — the run's own environment stamp."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except Exception:
+        return None
+
+
+def _cpu_delta(before: list[int] | None) -> dict | None:
+    """CPU-time mix over the benchmark window. ``steal_pct`` is the
+    honesty metric on this virtualized box: runs with steal >> 1% are
+    contended by a noisy neighbor and their walls are NOT comparable to
+    quiet-window runs (measured 1.5-2x inflation at ~10% steal). BENCH.md
+    round tables cite it next to every headline number."""
+    after = _cpu_sample()
+    if before is None or after is None:
+        return None
+    d = [a - b for a, b in zip(after, before, strict=True)]
+    tot = sum(d) or 1
+    return {
+        "user_pct": round(100 * d[0] / tot, 2),
+        "system_pct": round(100 * d[2] / tot, 2),
+        "idle_pct": round(100 * d[3] / tot, 2),
+        "steal_pct": round(100 * d[7] / tot, 2) if len(d) > 7 else None,
+    }
 
 
 def _warmup(spark) -> None:

@@ -39,7 +39,7 @@ def render(d: dict, label: str, source: str) -> str:
         j = half + i
         right = f"{names[j]} | {q[names[j]]}" if j < len(names) else " | "
         lines.append(f"| {left} | | {right} |")
-    for key in ("skew_guard", "setsim_gram_cap", "band_salt"):
+    for key in ("skew_guard", "setsim_gram_cap", "band_salt", "host_cpu"):
         if key in d:
             lines += ["", f"`{key}`: `{json.dumps(d[key])}`"]
     return "\n".join(lines)
