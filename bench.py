@@ -221,8 +221,8 @@ def _skew_guard_leg(spark, sf_dir: str) -> dict:
 
 def _hot_band_leg(spark, sf_dir: str) -> dict:
     """Exact-duplicate boilerplate flood A/B for the MinHash star-edge
-    forms (the north-star's hot-band skew case): 8x the corpus as
-    byte-identical copies of ONE page. Every copy shares every band, so
+    forms (the north-star's hot-band skew case): 80x the corpus as
+    byte-identical copies of ONE page (~400k rows at sf0.1). Every copy shares every band, so
     band_edges_mode="window" hashes the whole flood into one sort task per
     band — the task that scales with the largest duplicate group at web
     scale — while "salted" contracts identical fingerprints to one
