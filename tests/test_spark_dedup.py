@@ -234,15 +234,22 @@ class TestSaltedBandEdges:
 
 
 class TestSimHashDedup:
-    @pytest.mark.parametrize("check_fp", [False, True])
-    def test_matches_oracle(self, spark, corpus, pages_df, check_fp):
+    @pytest.mark.parametrize(
+        ("check_fp", "contraction"),
+        [(False, "window"), (True, "window"), (True, "join")],
+    )
+    def test_matches_oracle(self, spark, corpus, pages_df, check_fp, contraction):
         kernel = SimHashKernel(f=64, bit_diff=3, num_bucket=4, ngram_size=3, min_length=5)
         texts = list(corpus.pages["text"])
         expected_parents, expected_kept = simhash_oracle(
             texts, kernel, check_false_positive=check_fp, jaccard_threshold=0.5
         )
         res = simhash_dedup(
-            pages_df, kernel, check_false_positive=check_fp, jaccard_threshold=0.5
+            pages_df,
+            kernel,
+            check_false_positive=check_fp,
+            jaccard_threshold=0.5,
+            contraction=contraction,
         )
         got_kept = sorted(r[INDEX_COL] for r in res.kept.select(INDEX_COL).collect())
         assert got_kept == expected_kept

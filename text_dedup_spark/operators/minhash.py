@@ -252,6 +252,34 @@ def contract_identical_fingerprints(
     return rep_rows, contraction_edges
 
 
+def _contract_text_groups(
+    cand: DataFrame, text_col: str, contraction: str, cluster_col: str = CLUSTER_COL
+) -> DataFrame:
+    """Attach ``__trep__`` (min id of the (cluster, identical-text) group)
+    and ``__tsz__`` (group size) to every candidate row — the identical-text
+    contraction both FP-verification operators share. ``contraction`` picks
+    the physical form (see the call sites): "window" = one exchange, worst
+    task O(largest identical-text group); "join" = partial-agg groupBy +
+    AQE-skew-split join-back, worst task bounded."""
+    if contraction not in ("window", "join"):
+        raise ValueError(
+            f"contraction must be 'window' or 'join', got {contraction!r}"
+        )
+    key = F.sha2(F.col(text_col), 256)
+    if contraction == "window":
+        from pyspark.sql import Window
+
+        wt = Window.partitionBy(cluster_col, key)
+        return cand.withColumn("__trep__", F.min(INDEX_COL).over(wt)).withColumn(
+            "__tsz__", F.count(F.lit(1)).over(wt)
+        )
+    with_key = cand.withColumn("__tkey__", key)
+    groups = with_key.groupBy(cluster_col, "__tkey__").agg(
+        F.min(INDEX_COL).alias("__trep__"), F.count(F.lit(1)).alias("__tsz__")
+    )
+    return with_key.join(groups, [cluster_col, "__tkey__"]).drop("__tkey__")
+
+
 def assign_clusters(docs: DataFrame, mapping: DataFrame) -> DataFrame:
     """Left-join cluster assignment: cluster = parents.get(idx, idx),
     __duplicate__ = idx in parents (reference ``minhash.py:82-98``)."""
@@ -270,6 +298,7 @@ def check_false_positives(
     text_col: str = "text",
     max_cluster_verify: int | None = None,
     observation=None,
+    contraction: str = "window",
 ) -> tuple[DataFrame, DataFrame]:
     """Intra-cluster pairwise Jaccard re-check, re-assign min-idx within the
     *old* cluster (exact semantics of reference ``minhash.py:101-170`` —
@@ -296,18 +325,16 @@ def check_false_positives(
     # the reference's (minhash.py:101-170). Boilerplate mega-clusters are
     # overwhelmingly exact duplicates — the case that made the O(m^2)
     # verify a scale hazard — and contract to a handful of distinct texts.
-    # rep selection stays a WINDOW here (unlike the simhash signature
-    # contraction, which moved to groupBy + AQE-broadcast join): cand
-    # carries the TEXT column for the downstream pair join, so a join-back
-    # would drag the texts through a second exchange and recompute the hash
-    # probe-side — measured 1.3x slower than the single window exchange at
-    # sf0.1 (A/B, median of 4 warm runs).
-    from pyspark.sql import Window
-
-    wt = Window.partitionBy(CLUSTER_COL, F.sha2(F.col(text_col), 256))
-    cand = cand.withColumn("__trep__", F.min(INDEX_COL).over(wt)).withColumn(
-        "__tsz__", F.count(F.lit(1)).over(wt)
-    )
+    # Two rep-selection forms, same trade as the band star edges:
+    # - "window" (parity default): one exchange; measured 1.3x faster than
+    #   a join-back at sf0.1 (the join would drag the TEXT column through a
+    #   second exchange). But one (cluster, text-hash) group = one sort
+    #   task — a 10M-member exact-duplicate cluster lands whole in it.
+    # - "join" (scale): partial-agg groupBy min/count + AQE-skew-split
+    #   join-back — worst task bounded by the skew threshold, the form a
+    #   10^12-doc run needs (pinned to the salted star-edge mode by
+    #   minhash_dedup).
+    cand = _contract_text_groups(cand, text_col, contraction)
 
     bypassed = None
     if max_cluster_verify is not None:
@@ -475,6 +502,9 @@ def minhash_dedup(
             text_col,
             max_cluster_verify=max_cluster_verify,
             observation=observation,
+            # one knob, one meaning: "salted" = bounded worst task in every
+            # stage, so the verify contraction switches to the join form too
+            contraction="join" if band_edges_mode == "salted" else "window",
         )
 
     kept = (

@@ -177,6 +177,7 @@ def simhash_check_false_positives(
     text_col: str = "text",
     max_cluster_verify: int | None = None,
     observation=None,
+    contraction: str = "window",
 ) -> tuple[DataFrame, DataFrame]:
     """Intra-cluster pairwise Jaccard -> fresh CC over verified pairs
     (reference ``simhash.py:93-173``). __duplicate__ NOT updated.
@@ -199,10 +200,12 @@ def simhash_check_false_positives(
     trip it. Bypassed membership is observable via ``n_bypassed``, never
     silent."""
     cand = docs.where(F.col(DUPLICATE_COL)).select(INDEX_COL, text_col, CLUSTER_COL)
-    from pyspark.sql import Window
+    # shared contraction helper — "window" (parity, one exchange) or "join"
+    # (scale: partial-agg groupBy + AQE-skew join-back, worst task bounded;
+    # see minhash._contract_text_groups)
+    from text_dedup_spark.operators.minhash import _contract_text_groups
 
-    wt = Window.partitionBy(CLUSTER_COL, F.sha2(F.col(text_col), 256))
-    cand = cand.withColumn("__trep__", F.min(INDEX_COL).over(wt))
+    cand = _contract_text_groups(cand, text_col, contraction).drop("__tsz__")
 
     bypassed = None
     if max_cluster_verify is not None:
@@ -279,6 +282,7 @@ def simhash_dedup(
     repartition_input: int | None = None,
     cc_driver_threshold: int = 5_000_000,
     observation=None,
+    contraction: str = "window",
 ) -> SimHashDedupResult:
     docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
     if repartition_input:
@@ -348,6 +352,7 @@ def simhash_dedup(
             text_col,
             max_cluster_verify=max_cluster_verify,
             observation=observation,
+            contraction=contraction,
         )
     # reference quirk: filter uses the INITIAL duplicate flag (simhash.py:176-186)
     kept = assigned if skip_filtering else assigned.where(~F.col(DUPLICATE_COL))

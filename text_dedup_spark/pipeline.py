@@ -270,6 +270,9 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
                 skip_filtering=True,
                 max_bucket_size=max_bucket_size,
                 max_cluster_verify=max_cluster_verify,
+                # scale: FP-verify rep selection via partial-agg groupBy +
+                # AQE join-back instead of a per-(cluster,text) window task
+                contraction="join" if algo.profile == "scale" else "window",
             ).docs
 
         assigned = stage("assigned", {"cfg": cfg_dict, "stage": "assigned"}, build_assigned)
