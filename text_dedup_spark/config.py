@@ -85,7 +85,9 @@ class AlgorithmConfig:
     # "parity": reference-faithful, no skew caps (default).
     # "scale": pins non-None skew guards when unset — max_bucket_size=10000
     # (SimHash hot-bucket cap) and max_cluster_verify=1000 (MinHash FP-verify
-    # cluster cap). Both caps are observable via Observation metrics.
+    # cluster cap) — both observable via Observation metrics — plus the
+    # bounded-worst-task physical forms: band_edges_mode="salted" (MinHash
+    # star edges) and the "join" FP-verify contraction in both pipelines.
     profile: str = "parity"
     max_bucket_size: int | None = None
     max_cluster_verify: int | None = None
