@@ -178,11 +178,11 @@ def lsh_star_edges(exploded: DataFrame) -> DataFrame:
     )
 
 
-def lsh_star_edges_salted(exploded: DataFrame, salt_buckets: int = 64) -> DataFrame:
-    """Hot-band-safe star edges: salted two-phase min-aggregation + AQE
-    join-back (SURVEY.md §7.5's "salted groupBy" form; north-star scale
-    requirement). Same edge set as ``lsh_star_edges`` — min() is
-    associative, so min-of-per-salt-mins is the band minimum.
+def lsh_star_edges_salted(exploded: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """Hot-band-safe star edges: salted min-aggregation + AQE join-back
+    (SURVEY.md §7.5's "salted groupBy" form; north-star scale requirement).
+    Same edge set as ``lsh_star_edges`` — min() is associative, so a min of
+    per-salt minima is the band minimum.
 
     Why the window form can't serve 10^12 docs: a window partitioned by
     band key hashes every row of one band into ONE task's sort. Web corpora
@@ -190,30 +190,53 @@ def lsh_star_edges_salted(exploded: DataFrame, salt_buckets: int = 64) -> DataFr
     (FIXTURES.md F1 plants exactly this), so the hottest task scales with
     the largest duplicate group — unbounded. Here instead:
 
-    1. ``groupBy(band, salt=xxhash64(id)%S).min(id)`` — reducer rows per
-       (band, salt) key are already bounded at #map-tasks by partial
-       (map-side) aggregation; the explicit salt additionally caps the
-       per-key fan-in at S-way when a future non-algebraic aggregate
-       replaces min, and spreads phase-2's input S-ways.
-    2. ``groupBy(band).min`` over the per-salt minima — <= S rows per band.
-    3. join the band roots back to the exploded rows — the probe side's hot
+    1. ``groupBy(band).min(id)`` with map-side partial aggregation — which
+       IS the salted first phase: every map task pre-combines its own rows
+       per band (salt = input partition id, applied by Spark's
+       HashAggregate(partial) automatically), so the reducer receives at
+       most #map-tasks rows per band key no matter how hot the band.
+       ``salt_buckets > 0`` additionally inserts an EXPLICIT
+       ``groupBy(band, xxhash64(id) % S)`` phase — only useful if a
+       non-algebraic aggregate (no partial form) ever replaces min; for
+       min it costs a full extra exchange of the exploded rows for zero
+       skew benefit (measured ~1.3x wall on 1M docs), so 0 is the default.
+    2. join the band roots back to the exploded rows — the probe side's hot
        band partitions are AQE-skew-SPLIT (OptimizeSkewedJoin duplicates
        the one-row-per-band build side per split), so no task exceeds the
        skew threshold regardless of band heat.
 
-    Three exchanges vs the window's one — at bench scale the window wins
+    More exchanges than the window's one — at bench scale the window wins
     (see ``minhash_dedup.band_edges_mode``); under the scale profile this
     form is pinned, because the window's worst task is O(hottest band) and
     this one's is O(skew-split threshold)."""
-    salt = F.pmod(F.xxhash64(F.col(INDEX_COL)), F.lit(salt_buckets)).alias("__salt__")
-    per_salt = (
-        exploded.select("__band_idx__", "__band_val__", F.col(INDEX_COL), salt)
-        .groupBy("__band_idx__", "__band_val__", "__salt__")
-        .agg(F.min(INDEX_COL).alias("__m__"))
-    )
-    roots = per_salt.groupBy("__band_idx__", "__band_val__").agg(
-        F.min("__m__").alias("__root__")
-    )
+    if salt_buckets > 0:
+        salt = F.pmod(F.xxhash64(F.col(INDEX_COL)), F.lit(salt_buckets)).alias(
+            "__salt__"
+        )
+        pre = (
+            exploded.select("__band_idx__", "__band_val__", F.col(INDEX_COL), salt)
+            .groupBy("__band_idx__", "__band_val__", "__salt__")
+            .agg(F.min(INDEX_COL).alias("__m__"))
+        )
+    else:
+        pre = exploded.select(
+            "__band_idx__", "__band_val__", F.col(INDEX_COL).alias("__m__")
+        )
+    # count >= 2: a single-member band can never produce an edge (its only
+    # row IS the root), and on a mostly-unique web corpus single-member
+    # bands are the overwhelming majority of distinct band values —
+    # filtering them off the build side shrinks the join-back from
+    # ~|distinct bands| to ~|duplicate-sharing bands| rows (often
+    # broadcastable), and the inner join drops the matching probe rows for
+    # free. Only valid when counts are exact, i.e. salt_buckets=0 (one pre
+    # row per member); the explicit-salt phase pre-aggregates, so a single
+    # per-salt row can hide multiple members and the filter must stay off.
+    agg = [F.min("__m__").alias("__root__")]
+    if salt_buckets == 0:
+        agg.append(F.count(F.lit(1)).alias("__bn__"))
+    roots = pre.groupBy("__band_idx__", "__band_val__").agg(*agg)
+    if salt_buckets == 0:
+        roots = roots.where(F.col("__bn__") >= 2).drop("__bn__")
     return (
         exploded.join(roots, ["__band_idx__", "__band_val__"])
         .where(F.col(INDEX_COL) != F.col("__root__"))
@@ -238,17 +261,34 @@ def contract_identical_fingerprints(
     Grouping key is ``xxhash64(__BANDS__)`` (collision ~2^-64 — the same
     absorbed risk class as the int64 band keys themselves; an FP-verify run
     re-checks any merged pair against real text). The min-rep map comes
-    from a partial-agg-safe groupBy; the join-back is AQE-skew-split, so a
-    10M-copy boilerplate group never concentrates in one task."""
-    fp = filtered.withColumn("__fph__", F.xxhash64(F.col("__BANDS__")))
-    rep_map = fp.groupBy("__fph__").agg(F.min(INDEX_COL).alias("__rep__"))
-    joined = fp.join(rep_map, "__fph__")
-    contraction_edges = joined.where(F.col(INDEX_COL) != F.col("__rep__")).select(
-        F.col("__rep__").alias("src"), F.col(INDEX_COL).alias("dst")
+    from a partial-agg-safe groupBy that ALSO carries the band array out
+    via ``first(__BANDS__)`` — sound because every row of a group has the
+    identical array by construction — so ``rep_rows`` needs no join at all,
+    and the member-edge join probes only 16-byte (id, key) rows instead of
+    dragging the band arrays through a shuffle (measured: the array-probe
+    form cost ~40% extra wall on a 1M-doc corpus). The join-back is
+    AQE-skew-split, so a 10M-copy boilerplate group never concentrates in
+    one task."""
+    fp = filtered.select(
+        INDEX_COL, "__BANDS__", F.xxhash64(F.col("__BANDS__")).alias("__fph__")
     )
-    rep_rows = joined.where(F.col(INDEX_COL) == F.col("__rep__")).select(
-        INDEX_COL, "__BANDS__"
+    rep_map = fp.groupBy("__fph__").agg(
+        F.min(INDEX_COL).alias("__rep__"),
+        F.first("__BANDS__").alias("__BANDS__"),
+        F.count(F.lit(1)).alias("__fn__"),
     )
+    # singleton fingerprints (the bulk of a mostly-unique corpus) emit no
+    # contraction edge — keep them off the edge join's build side
+    contraction_edges = (
+        fp.select(INDEX_COL, "__fph__")
+        .join(
+            rep_map.where(F.col("__fn__") >= 2).select("__fph__", "__rep__"),
+            "__fph__",
+        )
+        .where(F.col(INDEX_COL) != F.col("__rep__"))
+        .select(F.col("__rep__").alias("src"), F.col(INDEX_COL).alias("dst"))
+    )
+    rep_rows = rep_map.select(F.col("__rep__").alias(INDEX_COL), "__BANDS__")
     return rep_rows, contraction_edges
 
 
