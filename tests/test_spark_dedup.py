@@ -232,6 +232,32 @@ class TestSaltedBandEdges:
         with pytest.raises(ValueError, match="band_edges_mode"):
             minhash_dedup(pages_df, kernel, band_edges_mode="saltedd")
 
+    def test_explicit_salt_phase_same_edges(self, spark, pages_df):
+        """salt_buckets > 0 (the explicit two-phase form for non-algebraic
+        aggregates) must produce the same edge SET as the partial-agg
+        default — min of per-salt minima is the band minimum."""
+        from text_dedup_spark.operators.minhash import (
+            lsh_star_edges_salted,
+            minhash_fingerprint,
+        )
+
+        kernel = MinHashKernel(num_perm=64, ngram_size=2, min_length=5, threshold=0.5)
+        exploded = minhash_fingerprint(pages_df, kernel).persist()
+        try:
+            default = {
+                (r["src"], r["dst"])
+                for r in lsh_star_edges_salted(exploded).distinct().collect()
+            }
+            explicit = {
+                (r["src"], r["dst"])
+                for r in lsh_star_edges_salted(exploded, salt_buckets=16)
+                .distinct()
+                .collect()
+            }
+            assert default == explicit
+        finally:
+            exploded.unpersist()
+
 
 class TestSimHashDedup:
     @pytest.mark.parametrize(

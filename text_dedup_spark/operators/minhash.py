@@ -246,6 +246,7 @@ def lsh_star_edges_salted(exploded: DataFrame, salt_buckets: int = 0) -> DataFra
 
 def contract_identical_fingerprints(
     filtered: DataFrame,
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse byte-identical fingerprints (== identical band arrays) to
     one representative BEFORE the band explode: returns ``(rep_rows,
@@ -272,6 +273,13 @@ def contract_identical_fingerprints(
     fp = filtered.select(
         INDEX_COL, "__BANDS__", F.xxhash64(F.col("__BANDS__")).alias("__fph__")
     )
+    if num_partitions:
+        # pre-partition on the group/join key: the aggregate's required
+        # distribution is satisfied, so this IS the agg exchange (at the
+        # pinned width), and the edge join below is co-partitioned on
+        # __fph__ — no second exchange. Same sort-width rationale as
+        # ``band_partitions`` (concurrent sort tasks thrash beyond ~16 MB).
+        fp = fp.repartition(num_partitions, "__fph__")
     rep_map = fp.groupBy("__fph__").agg(
         F.min(INDEX_COL).alias("__rep__"),
         F.first("__BANDS__").alias("__BANDS__"),
@@ -512,8 +520,18 @@ def minhash_dedup(
     filtered = with_bands.where(F.col("__BANDS__").isNotNull())
 
     if band_edges_mode == "salted":
-        rep_rows, contraction_edges = contract_identical_fingerprints(filtered)
+        rep_rows, contraction_edges = contract_identical_fingerprints(
+            filtered, num_partitions=band_partitions
+        )
         exploded = _explode_bands(rep_rows, kernel)
+        if band_partitions:
+            # pin the band exchange width here too: the groupBy's required
+            # distribution is satisfied by this repartition and the
+            # join-back probe shares it — band_partitions governs the sort
+            # width of the salted path exactly as it does the window's
+            exploded = exploded.repartition(
+                band_partitions, "__band_idx__", "__band_val__"
+            )
         edges = lsh_star_edges_salted(exploded).unionByName(contraction_edges)
     else:
         exploded = _explode_bands(filtered, kernel)
