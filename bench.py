@@ -3,10 +3,23 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "docs_per_sec": ...}
+   "queries": {name: sec}, "queries_detail": {name: {runs, median, min,
+   max, k}}, "sf": ..., "docs_per_sec": ...}
 
 The dedup queries dominate; docs_per_sec is documents processed by the
 flagship minhash_dedup per second (throughput figure for BASELINE.md).
+
+Noise policy (round-5): this box is a VM whose host steal/system time can
+inflate a single wall 1.2-2x (BENCH.md environment-stamping section), so a
+single-shot artifact is not comparable across rounds. Each query now runs
+an UNTIMED warm pass (plan compile + page-cache touch; the steady state of
+a long-lived cluster) followed by K timed repeats — K adaptive to the warm
+wall so the total stays bounded — and `queries` records the lower median
+(noise on this host is one-sided: contention only ever inflates a wall, so
+the lower median is the estimator of the uncontended number being compared
+across rounds). Spread and raw runs land in `queries_detail`;
+`spark.catalog.clearCache()` runs between repeats so a pipeline's internal
+persist() can never leak one run's work into the next timing.
 """
 
 from __future__ import annotations
@@ -60,13 +73,9 @@ def main() -> None:
     cpu_before = _cpu_sample()
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in BENCH_QUERIES:
-        fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+        timings[name], detail[name] = _warm_median(spark, queries[name], sf_dir, name)
 
     skew = _skew_guard_leg(spark, sf_dir)
     setsim_cap = _setsim_cap_leg(spark)
@@ -78,6 +87,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_detail": detail,
         "sf": sf_dir,
         "docs_per_sec": round(n_docs / timings["minhash_dedup"], 1),
         "cpus": int(cpus),
@@ -88,6 +98,34 @@ def main() -> None:
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _warm_median(spark, fn, sf_dir: str, name: str) -> tuple[float, dict]:
+    """One untimed warm pass, then K timed repeats (K: 3 if warm wall <= 3 s,
+    2 if <= 8 s, else 1 — bounds total bench wall at ~4 min). Returns
+    (lower median, detail). Cache is cleared between repeats: several
+    pipelines persist() intermediates internally, and Spark's CacheManager
+    matches by canonicalized plan, so without the clear a repeat could
+    silently reuse the previous run's fingerprint cache and time only the
+    tail of the pipeline."""
+    t0 = time.time()
+    n = fn(spark, sf_dir).count()
+    warm = time.time() - t0
+    spark.catalog.clearCache()
+    k = 3 if warm <= 3.0 else (2 if warm <= 8.0 else 1)
+    runs: list[float] = []
+    for _ in range(k):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        runs.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+    med = sorted(runs)[(len(runs) - 1) // 2]
+    print(
+        f"# {name}: {n} rows; warm {warm:.2f}s, runs {runs} -> median {med:.2f}s",
+        file=sys.stderr,
+    )
+    return med, {"runs": runs, "median": med, "min": min(runs),
+                 "max": max(runs), "k": k, "warm_pass": round(warm, 3)}
 
 
 def _cpu_sample() -> list[int] | None:
@@ -282,6 +320,9 @@ def _hot_band_leg(spark, sf_dir: str) -> dict:
         "n_dup_window": int(dups["window"]),
         "n_dup_salted": int(dups["salted"]),
     }
+    # the equality the docstring promises, enforced — a mode divergence
+    # fails the bench instead of passing silently into the artifact
+    assert dups["window"] == dups["salted"], leg
     print(f"# band_salt: {leg}", file=sys.stderr)
     return leg
 
