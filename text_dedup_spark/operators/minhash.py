@@ -382,7 +382,12 @@ def check_false_positives(
     #   join-back — worst task bounded by the skew threshold, the form a
     #   10^12-doc run needs (pinned to the salted star-edge mode by
     #   minhash_dedup).
-    cand = _contract_text_groups(cand, text_col, contraction)
+    # persisted: cand feeds the cap sizing, the rep selection AND the
+    # verified-membership join — without it each consumer re-runs the whole
+    # upstream (assignment join + contraction) once per scan. Bounded: dup
+    # candidates only (same size class as the reference's verify working
+    # set), released after new_map materializes below.
+    cand = _contract_text_groups(cand, text_col, contraction).persist()
 
     bypassed = None
     if max_cluster_verify is not None:
@@ -403,10 +408,12 @@ def check_false_positives(
         cand = cand_all.where(F.col("__csz__") <= max_cluster_verify).drop("__csz__")
 
     # one gram pass per rep, then JVM array_intersect Jaccard per pair —
-    # the O(pairs) cost runs in whole-stage codegen, not Python
+    # the O(pairs) cost runs in whole-stage codegen, not Python. Persisted:
+    # reps backs BOTH sides of the pair self-join — uncached, the gram UDF
+    # would run twice (once per side).
     reps = cand.where(F.col(INDEX_COL) == F.col("__trep__")).withColumn(
         "__G__", gram_set_udf(kernel.ngram_size, kernel.min_length)(F.col(text_col))
-    )
+    ).persist()
     left = reps.select(
         F.col(CLUSTER_COL),
         F.col(INDEX_COL).alias("id1"),
@@ -421,9 +428,13 @@ def check_false_positives(
     verified = pairs.where(
         jaccard_ge_expr(F.col("g1"), F.col("g2"), kernel.threshold)
     )
+    # ONE scan of the quadratic pair join for both endpoints: the former
+    # union(id1, id2) form scanned `verified` twice, re-running the
+    # pair-Jaccard filter — the verify stage's dominant cost — once per side
     verified_reps = (
-        verified.select(F.col("id1").alias("__trep__"))
-        .union(verified.select(F.col("id2").alias("__trep__")))
+        verified.select(
+            F.explode(F.array(F.col("id1"), F.col("id2"))).alias("__trep__")
+        )
         .distinct()
         .withColumn("__v__", F.lit(True))
     )
@@ -445,6 +456,12 @@ def check_false_positives(
         )
         .select(F.col("idx").alias("id"), F.col("__newc__").alias("cluster"))
     )
+    # materialize the verified mapping once (it is small — verified dup docs
+    # only), then release the working caches: without this, the caller's
+    # docs-action AND its clusters-action would each re-run the pair join
+    new_map = new_map.localCheckpoint(eager=True)
+    cand.unpersist()
+    reps.unpersist()
     reassigned = (
         docs.drop(CLUSTER_COL)
         .join(new_map.withColumnRenamed("id", INDEX_COL), INDEX_COL, "left")

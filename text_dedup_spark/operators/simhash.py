@@ -205,7 +205,11 @@ def simhash_check_false_positives(
     # see minhash._contract_text_groups)
     from text_dedup_spark.operators.minhash import _contract_text_groups
 
-    cand = _contract_text_groups(cand, text_col, contraction).drop("__tsz__")
+    # persisted (mirrors minhash.check_false_positives): cand feeds the cap
+    # sizing, rep selection AND the star edges; uncached, each scan re-runs
+    # the upstream assignment join + contraction. Released after new_map
+    # materializes below.
+    cand = _contract_text_groups(cand, text_col, contraction).drop("__tsz__").persist()
 
     bypassed = None
     if max_cluster_verify is not None:
@@ -223,10 +227,12 @@ def simhash_check_false_positives(
         )
         cand = cand_all.where(F.col("__csz__") <= max_cluster_verify).drop("__csz__")
     # one gram pass per rep, then JVM array_intersect Jaccard per pair
-    # (bit-identical to the Python kernel — see jaccard_ge_expr)
+    # (bit-identical to the Python kernel — see jaccard_ge_expr). Persisted:
+    # reps backs both sides of the pair self-join (uncached, the gram UDF
+    # runs once per side).
     reps = cand.where(F.col(INDEX_COL) == F.col("__trep__")).withColumn(
         "__G__", gram_set_udf(kernel.ngram_size, kernel.min_length)(F.col(text_col))
-    )
+    ).persist()
     left = reps.select(
         F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id1"), F.col("__G__").alias("g1")
     )
@@ -260,6 +266,13 @@ def simhash_check_false_positives(
         new_map = new_map.unionByName(
             bypassed.select(F.col("idx").alias("id"), F.col(CLUSTER_COL).alias("cluster"))
         )
+    # materialize the verified mapping once (small — verified dup docs only),
+    # then release the working caches: without this, the caller's docs-action
+    # AND its clusters-action would each re-run the pair join (mirrors
+    # minhash.check_false_positives)
+    new_map = new_map.localCheckpoint(eager=True)
+    cand.unpersist()
+    reps.unpersist()
     reassigned = (
         docs.drop(CLUSTER_COL)
         .join(new_map.withColumnRenamed("id", INDEX_COL), INDEX_COL, "left")

@@ -70,6 +70,108 @@ def make_planted_corpus(
     return df, labels
 
 
+def make_planted_embedding_corpus(
+    spark: SparkSession,
+    n_clusters: int = 300,
+    max_cluster_size: int = 4,
+    dup_fraction: float = 0.35,
+    dim: int = 32,
+    noise: float = 0.04,
+    seed: int = 7,
+) -> tuple[DataFrame, list[int]]:
+    """Deterministic embedding corpus with planted near-duplicate clusters
+    (the FIXTURES.md planted-noise pattern, vector edition).
+
+    Each cluster's members are unit-normalized ``base + noise * randn``
+    perturbations of a shared random unit base — expected member-member
+    cosine ~ 1/(1 + noise^2 * dim) (~0.95 at the defaults), while random
+    cross-cluster cosines concentrate near 0 +- 1/sqrt(dim), so a 0.9
+    threshold separates them with margin. Returns (DataFrame with
+    __INDEX__/embedding, ground-truth label list indexed by __INDEX__)."""
+    rng = np.random.RandomState(seed)
+    vecs: list[list[float]] = []
+    labels: list[int] = []
+    for c in range(n_clusters):
+        base = rng.randn(dim)
+        base /= np.linalg.norm(base)
+        size = 1
+        if rng.rand() < dup_fraction:
+            size = int(rng.randint(2, max_cluster_size + 1))
+        for _ in range(size):
+            v = base + noise * rng.randn(dim)
+            v = v / np.linalg.norm(v)
+            vecs.append([float(x) for x in v])
+            labels.append(c)
+    order = rng.permutation(len(vecs))
+    vecs = [vecs[i] for i in order]
+    labels = [labels[i] for i in order]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        f"{INDEX_COL} long, embedding array<float>",
+    )
+    return df, labels
+
+
+def run_embedding_quality(
+    spark: SparkSession,
+    emb: DataFrame,
+    labels: list[int],
+    work_dir: str,
+    threshold: float = 0.9,
+) -> dict:
+    """Embedding-cosine dedup quality through the TOML-driven pipeline
+    (``algorithm_name="embedding"``), both physical paths: parity
+    (candidate_mode auto -> exact all-pairs under the gate) and
+    profile="scale" (LSH candidates + exact confirm). Returns CORE-style
+    macro-F1/accuracy + ARI per path, so the scale path's cluster quality
+    is pinned end to end, not just its candidate recall."""
+    from pathlib import Path
+
+    from text_dedup_spark.config import load_config
+    from text_dedup_spark.pipeline import run_pipeline
+
+    wd = Path(work_dir)
+    wd.mkdir(parents=True, exist_ok=True)
+    emb_path = wd / "emb"
+    emb.write.mode("overwrite").parquet(str(emb_path))
+
+    out: dict = {"n_docs": len(labels)}
+    for tag, profile_line in (("exact", ""), ("lsh", 'profile = "scale"')):
+        outdir = wd / f"out_{tag}"
+        cfg = f"""
+[input]
+input_type = "local_files"
+file_type = "parquet"
+[input.read_arguments]
+path = "{emb_path}"
+
+[algorithm]
+algorithm_name = "embedding"
+index_column = "{INDEX_COL}"
+embedding_column = "embedding"
+cosine_threshold = {threshold}
+candidate_mode = "auto"
+{profile_line}
+
+[output]
+output_dir = "{outdir}"
+save_clusters = true
+keep_cluster_column = true
+"""
+        cfgp = wd / f"config_{tag}.toml"
+        cfgp.write_text(cfg)
+        summary = run_pipeline(load_config(str(cfgp)), spark=spark)
+        mapping = {
+            r["id"]: r["cluster"]
+            for r in spark.read.parquet(str(outdir / "clusters")).collect()
+        }
+        res = _core_metrics(mapping, labels)
+        res["ari"] = evaluate_clustering(labels, mapping)
+        res["candidate_mode"] = summary["embedding_candidate_mode"]
+        out[tag] = res
+    return out
+
+
 def _core_metrics(cluster_mapping: dict[int, int], labels: list[int]) -> dict:
     """CORE-style evaluation (reference benchmark_core.py): gt duplicates per
     doc are its co-labeled docs; predictions decode from cluster groups."""

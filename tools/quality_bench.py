@@ -35,6 +35,20 @@ def main() -> None:
         res["wall_sec"] = round(time.time() - t0, 2)
         out[tag] = res
         docs.unpersist()
+    # embedding-cosine path (beyond-reference): planted vector clusters at
+    # noise=0.04 (member cosine ~0.95 vs threshold 0.9), both physical paths
+    from tempfile import mkdtemp
+
+    from text_dedup_spark.quality import (
+        make_planted_embedding_corpus,
+        run_embedding_quality,
+    )
+
+    emb, elabels = make_planted_embedding_corpus(spark, n_clusters=n_clusters)
+    t0 = time.time()
+    eres = run_embedding_quality(spark, emb, elabels, mkdtemp(prefix="embq_"))
+    eres["wall_sec"] = round(time.time() - t0, 2)
+    out["embedding_noise_004"] = eres
     out["reference_readme"] = {
         "core_minhash": {"macro_f1": 0.9518, "accuracy": 0.9277},
         "core_simhash": {"macro_f1": 0.8515, "accuracy": 0.8375},

@@ -101,8 +101,17 @@ def ensure_corpus(n_docs: int) -> None:
     marker.write_text(str(n_docs))
 
 
+def _cpu_sample() -> list[int] | None:
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except Exception:
+        return None
+
+
 def run_at(cpus: int, mode: str = "window") -> dict:
     code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, data=DATA, mode=mode)
+    before = _cpu_sample()
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -110,9 +119,19 @@ def run_at(cpus: int, mode: str = "window") -> dict:
         timeout=3600,
         env={**os.environ, "PYTHONPATH": str(REPO)},
     )
+    after = _cpu_sample()
     for line in out.stdout.splitlines():
         if line.startswith("{"):
-            return json.loads(line)
+            res = json.loads(line)
+            # host-contention stamp per leg (same honesty metric as
+            # bench.py's host_cpu): steal/system % over this leg's window —
+            # a leg with steal >> 1% is not comparable to a quiet one
+            if before is not None and after is not None:
+                d = [a - b for a, b in zip(after, before, strict=True)]
+                tot = sum(d) or 1
+                res["host_steal_pct"] = round(100 * d[7] / tot, 2) if len(d) > 7 else None
+                res["host_system_pct"] = round(100 * d[2] / tot, 2)
+            return res
     raise RuntimeError(f"no result line; stderr tail: {out.stderr[-2000:]}")
 
 
