@@ -231,6 +231,30 @@ class TestSaltedBandEdges:
         kernel = MinHashKernel(num_perm=16, ngram_size=2, min_length=5, threshold=0.5)
         with pytest.raises(ValueError, match="band_edges_mode"):
             minhash_dedup(pages_df, kernel, band_edges_mode="saltedd")
+        with pytest.raises(ValueError, match="fingerprint_contraction"):
+            minhash_dedup(pages_df, kernel, fingerprint_contraction="maybe")
+
+    @pytest.mark.parametrize("gate", ["auto", "always", "never"])
+    def test_contraction_gate_output_invariant(self, spark, corpus, pages_df, gate):
+        """The fingerprint-contraction auto-gate is PHYSICAL planning only:
+        all three settings must yield the reference clustering (contraction
+        preserves the transitive closure; skipping it routes members
+        through the salted groupBy directly)."""
+        kernel = MinHashKernel(num_perm=64, ngram_size=2, min_length=5, threshold=0.5)
+        expected_parents, expected_kept = minhash_oracle(
+            list(corpus.pages["text"]), kernel, check_false_positive=False
+        )
+        res = minhash_dedup(
+            pages_df, kernel, band_edges_mode="salted", fingerprint_contraction=gate
+        )
+        got_kept = sorted(r[INDEX_COL] for r in res.kept.select(INDEX_COL).collect())
+        assert got_kept == expected_kept
+        got = {
+            r[INDEX_COL]: r[CLUSTER_COL]
+            for r in res.docs.select(INDEX_COL, CLUSTER_COL).collect()
+        }
+        for idx, c in got.items():
+            assert expected_parents.get(idx, idx) == c, f"doc {idx}"
 
     def test_explicit_salt_phase_same_edges(self, spark, pages_df):
         """salt_buckets > 0 (the explicit two-phase form for non-algebraic

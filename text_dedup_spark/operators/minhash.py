@@ -483,6 +483,7 @@ def minhash_dedup(
     max_cluster_verify: int | None = None,
     band_partitions: int | None = None,
     band_edges_mode: str = "window",
+    fingerprint_contraction: str = "auto",
     observation=None,
 ) -> MinHashDedupResult:
     """End-to-end MinHash dedup. ``df`` must already carry a unique long id
@@ -507,10 +508,29 @@ def minhash_dedup(
     contraction + salted two-phase groupBy-min + AQE-skew-split join-back —
     worst task bounded regardless of band heat; the scale profile pins
     this). Cluster assignments are identical between modes (min is
-    associative; contraction preserves the transitive closure)."""
+    associative; contraction preserves the transitive closure).
+
+    ``fingerprint_contraction`` (salted mode only): ``"auto"`` (default)
+    probes the duplicate-fingerprint mass with ONE pass over the slim
+    fingerprint cache (count + approx_count_distinct in a single aggregate)
+    and skips the contraction when the corpus is mostly unique;
+    ``"always"``/``"never"`` force it. Economics of the gate: contraction
+    spends ~2 exchanges of n narrow fingerprint rows to save
+    (1 - distinct_ratio) of the n*b-row band explode + exchange — with
+    b ~ 13 bands the break-even sits near distinct_ratio ~ 0.85, so auto
+    skips above that (the probe's ~2% approx error only matters exactly at
+    break-even, where either choice costs the same). Cluster output is
+    identical either way; skew safety does not depend on the gate — the
+    salted groupBy's map-side partial aggregation and the AQE-skew-split
+    join-back bound per-task work with or without contraction."""
     if band_edges_mode not in ("window", "salted"):
         raise ValueError(
             f"band_edges_mode must be 'window' or 'salted', got {band_edges_mode!r}"
+        )
+    if fingerprint_contraction not in ("auto", "always", "never"):
+        raise ValueError(
+            "fingerprint_contraction must be 'auto', 'always' or 'never', "
+            f"got {fingerprint_contraction!r}"
         )
     docs = df if id_col == INDEX_COL else df.withColumn(INDEX_COL, F.col(id_col))
     if repartition_input:
@@ -537,9 +557,23 @@ def minhash_dedup(
     filtered = with_bands.where(F.col("__BANDS__").isNotNull())
 
     if band_edges_mode == "salted":
-        rep_rows, contraction_edges = contract_identical_fingerprints(
-            filtered, num_partitions=band_partitions
-        )
+        contract = fingerprint_contraction != "never"
+        if fingerprint_contraction == "auto":
+            # one distributed pass over the slim cache (populates it too —
+            # work the band phase needs anyway); see the docstring's
+            # break-even derivation for the 0.85 ratio
+            probe = filtered.select(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(F.xxhash64("__BANDS__")).alias("nd"),
+            ).first()
+            contract = probe["nd"] < 0.85 * probe["n"]
+        if contract:
+            rep_rows, contraction_edges = contract_identical_fingerprints(
+                filtered, num_partitions=band_partitions
+            )
+        else:
+            rep_rows = filtered
+            contraction_edges = None
         exploded = _explode_bands(rep_rows, kernel)
         if band_partitions:
             # pin the band exchange width here too: the groupBy's required
@@ -549,7 +583,9 @@ def minhash_dedup(
             exploded = exploded.repartition(
                 band_partitions, "__band_idx__", "__band_val__"
             )
-        edges = lsh_star_edges_salted(exploded).unionByName(contraction_edges)
+        edges = lsh_star_edges_salted(exploded)
+        if contraction_edges is not None:
+            edges = edges.unionByName(contraction_edges)
     else:
         exploded = _explode_bands(filtered, kernel)
         if band_partitions:

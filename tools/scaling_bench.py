@@ -43,7 +43,15 @@ spark = get_spark("scaling", master=f"local[{cpus}]",
                   conf={{"spark.sql.shuffle.partitions": str(max(cpus, 8)),
                          # local mode: one JVM holds all executors; size the
                          # heap like a real worker fleet would be sized
-                         "spark.driver.memory": "48g"}})
+                         "spark.driver.memory": "48g",
+                         # honest per-leg core budget: without this the JVM
+                         # sizes GC workers, JIT compiler threads and netty
+                         # pools for the PHYSICAL 32 cores in BOTH legs, so
+                         # the local[2] leg borrows ~32-core GC/JIT silently
+                         # — free parallelism a real 2-core executor fleet
+                         # would not have, deflating measured N->4N scaling
+                         "spark.driver.extraJavaOptions":
+                             f"-XX:ActiveProcessorCount={{cpus}}"}})
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet("{data}/pages")
 n = df.count()
