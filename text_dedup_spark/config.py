@@ -100,6 +100,11 @@ class AlgorithmConfig:
     # contraction + salted two-phase groupBy-min + AQE-skew join-back, so
     # the hottest band never lands whole in one task). Explicit values win.
     band_edges_mode: str | None = None
+    # Salted-mode identical-fingerprint contraction: "auto" (default —
+    # a one-pass distinct-ratio probe decides whether the contraction's
+    # two extra exchanges pay for the band-explode rows they remove),
+    # "always", or "never". See minhash_dedup's break-even derivation.
+    fingerprint_contraction: str | None = None
     # --- reference drop-in compatibility fields -------------------------
     # Every shipped reference TOML parses unmodified. These knobs configure
     # the reference's single-node execution and have no Spark meaning (or a
@@ -162,5 +167,10 @@ def load_config(path: str) -> Config:
         raise ValueError(
             "algorithm.band_edges_mode must be 'window' or 'salted', "
             f"got {cfg.algorithm.band_edges_mode!r}"
+        )
+    if cfg.algorithm.fingerprint_contraction not in (None, "auto", "always", "never"):
+        raise ValueError(
+            "algorithm.fingerprint_contraction must be 'auto', 'always' or "
+            f"'never', got {cfg.algorithm.fingerprint_contraction!r}"
         )
     return cfg

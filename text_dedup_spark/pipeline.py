@@ -235,6 +235,7 @@ def run_pipeline(config: Config, spark: SparkSession | None = None) -> dict:
                 max_cluster_verify=max_cluster_verify,
                 band_partitions=algo.band_partitions,
                 band_edges_mode=band_edges_mode,
+                fingerprint_contraction=algo.fingerprint_contraction or "auto",
             )
             return res.docs
 
