@@ -51,19 +51,38 @@ def main() -> None:
         conf={
             "spark.sql.shuffle.partitions": str(max(cpus, 8)),
             "spark.driver.memory": "48g",
+            # same honest per-leg JVM core budget as scaling_bench's legs —
+            # the decomposition must explain THOSE runs, so the JVM must see
+            # the same core count here
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
     kernel = MinHashKernel(num_perm=128, ngram_size=2, min_length=5, threshold=0.5)
 
     phases: dict[str, float] = {}
+    host: dict[str, dict] = {}
     t_all = time.time()
 
+    def _stat():
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
     def timed(name: str, fn):
+        before = _stat()
         t0 = time.time()
         out = fn()
         phases[name] = round(time.time() - t0, 2)
-        print(f"# {name}: {phases[name]}s -> {out}", file=sys.stderr)
+        d = [a - b for a, b in zip(_stat(), before, strict=True)]
+        tot = sum(d) or 1
+        # per-phase contention stamp: a phase measured under steal is not
+        # comparable to a quiet one (memory: VM steal swings walls 1.5-2x)
+        host[name] = {
+            "steal_pct": round(100 * d[7] / tot, 1),
+            "system_pct": round(100 * d[2] / tot, 1),
+            "idle_pct": round(100 * d[3] / tot, 1),
+        }
+        print(f"# {name}: {phases[name]}s -> {out} {host[name]}", file=sys.stderr)
         return out
 
     df = spark.read.parquet(f"{DATA}/pages")
@@ -106,7 +125,7 @@ def main() -> None:
 
     total = round(time.time() - t_all, 2)
     print(json.dumps({"cpus": cpus, "n_docs": n_docs, "phases": phases,
-                      "total": total}))
+                      "host": host, "total": total}))
     spark.stop()
 
 

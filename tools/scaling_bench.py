@@ -107,6 +107,16 @@ def ensure_corpus(n_docs: int) -> None:
     for i in range(n_files):
         pq.write_table(tbl.slice(i * rows_per, rows_per), DATA / "pages" / f"part-{i:03d}.parquet")
     marker.write_text(str(n_docs))
+    # leave the page cache in the SAME state every leg sees: flush the
+    # dirty writeback pages the generation just produced (background
+    # writeback otherwise steals I/O + CPU from whichever leg runs first —
+    # measured 2.7x on a 1M-doc local[8] leg that followed a regen) and
+    # read the files back so each leg starts warm
+    os.sync()
+    for p in sorted((DATA / "pages").glob("*.parquet")):
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
 
 def _cpu_sample() -> list[int] | None:
