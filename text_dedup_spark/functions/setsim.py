@@ -49,14 +49,19 @@ def jaccard_pairs_prefix(
     ``pyspark.sql.Observation`` to read ``n_hot_grams`` /
     ``n_hot_postings`` after an action."""
     # persisted: consumed by the postings index AND both sides of the
-    # verification join — without it the gram arrays are recomputed 3x
-    sized = (
-        grams_df.select(
-            F.col(id_col), F.col(grams_col), F.size(grams_col).cast("bigint").alias("sz")
-        )
-        .where(F.col("sz") > 0)
-        .persist()
-    )
+    # verification join — without it the gram arrays are recomputed 3x.
+    # The sz>0 filter sits ON TOP of the cache, not inside it: below the
+    # persist, Catalyst pushes it under the caller's repartition exchange
+    # and inlines the whole gram expression into a per-row scan Filter —
+    # where the tokenizing split() is re-evaluated inside EVERY element_at
+    # of the ngram lambda (measured 6.1 s vs 1.2 s for the sf0.1 gram
+    # build; same pathology class as the fingerprint-cache note in
+    # minhash_dedup). Against the cache it is a trivial predicate on the
+    # materialized sz column.
+    cache = grams_df.select(
+        F.col(id_col), F.col(grams_col), F.size(grams_col).cast("bigint").alias("sz")
+    ).persist()
+    sized = cache.where(F.col("sz") > 0)
 
     # Candidate generation runs on xxhash64 GRAM KEYS, not strings: the
     # postings index / df ranking / prefix join shuffle and sort 8-byte
@@ -140,7 +145,7 @@ def jaccard_pairs_prefix(
     # session would otherwise accumulate one pinned `sized` per call
     if eager:
         result = result.localCheckpoint(eager=True)
-        sized.unpersist()
+        cache.unpersist()
     return result
 
 

@@ -431,22 +431,26 @@ def check_false_positives(
     # ONE scan of the quadratic pair join for both endpoints: the former
     # union(id1, id2) form scanned `verified` twice, re-running the
     # pair-Jaccard filter — the verify stage's dominant cost — once per side
-    verified_reps = (
-        verified.select(
-            F.explode(F.array(F.col("id1"), F.col("id2"))).alias("__trep__")
-        )
-        .distinct()
-        .withColumn("__v__", F.lit(True))
+    verified_reps = verified.select(
+        F.explode(F.array(F.col("id1"), F.col("id2"))).alias("__trep__")
     )
     # a group verifies via size >= 2 (J = 1.0 pairs, iff the threshold is
-    # satisfiable by identity) or via its rep's cross-text pairs. cand is
-    # unique per doc id and bypassed is disjoint from it (opposite __csz__
-    # filter), so no distinct is needed anywhere.
+    # satisfiable by identity) or via its rep's cross-text pairs. The two
+    # branches partition cand on the auto predicate, so their union is
+    # duplicate-free without any distinct — and the semi join tolerates
+    # duplicate build rows, so verified_reps needs no distinct either
+    # (the former distinct + left-join + null-filter form paid one extra
+    # exchange for the same set). cand is unique per doc id and bypassed
+    # is disjoint from it (opposite __csz__ filter).
     auto = F.col("__tsz__") >= 2 if kernel.threshold <= 1.0 else F.lit(False)
     members = (
-        cand.join(verified_reps, "__trep__", "left")
-        .where(auto | F.col("__v__").isNotNull())
+        cand.where(auto)
         .select(F.col(INDEX_COL).alias("idx"), F.col(CLUSTER_COL))
+        .unionByName(
+            cand.where(~auto)
+            .join(verified_reps, "__trep__", "left_semi")
+            .select(F.col(INDEX_COL).alias("idx"), F.col(CLUSTER_COL))
+        )
     )
     if bypassed is not None:
         members = members.unionByName(bypassed)
