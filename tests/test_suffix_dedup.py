@@ -204,3 +204,39 @@ class TestAnchoredGrouping:
             a = winnow_anchors(pre + shared, 48, 100 - 48 + 1)
             b = winnow_anchors(shared + post, 48, 100 - 48 + 1)
             assert a & b, f"trial {trial}: 120-byte shared run selected no common anchor"
+
+    def test_winnowing_kernel_forms(self):
+        """The round-5 O(n) prefix-sum hash + O(n log W) doubling min must
+        equal the definitional O(n*w)/O(n*W) forms value-for-value (anchor
+        IDENTITY is what makes anchored grouping lossless — a changed hash
+        would silently regroup)."""
+        from text_dedup_spark.kernels import winnowing as wn
+
+        def ref_anchors(data: bytes, w: int, window: int) -> set[int]:
+            n = len(data)
+            if n < w:
+                return set()
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            powers = np.empty(w, dtype=np.int64)
+            acc = np.int64(1)
+            for j in range(w - 1, -1, -1):
+                powers[j] = acc
+                acc = (acc * wn._B) % wn._P
+            h = (np.lib.stride_tricks.sliding_window_view(arr, w) @ powers) % wn._P
+            if len(h) == 0:
+                return set()
+            if len(h) <= window:
+                return {int(h.min())}
+            runs = np.lib.stride_tricks.sliding_window_view(h, window)
+            return set(runs.min(axis=1).astype(int).tolist())
+
+        rng = np.random.RandomState(7)
+        for trial in range(25):
+            n = int(rng.randint(0, 4000))
+            data = bytes(rng.randint(0, 256, size=n, dtype=np.int64).astype(np.uint8).tolist())
+            for w, window in ((48, 53), (8, 5), (2, 1), (16, 200)):
+                got = wn.winnow_anchors(data, w, window)
+                want = ref_anchors(data, w, window)
+                assert got == want, (trial, n, w, window)
+                lst = wn.winnow_anchor_list(data, w, window)
+                assert lst == sorted(want), (trial, n, w, window)

@@ -172,11 +172,13 @@ def suffix_array_dedup_anchored(
 
         @F.pandas_udf("array<long>")
         def anchors(texts: pd.Series) -> pd.Series:
-            from text_dedup_spark.kernels.winnowing import winnow_anchors
+            from text_dedup_spark.kernels.winnowing import winnow_anchor_list
 
             return pd.Series(
                 [
-                    sorted(winnow_anchors((t or "").encode("utf-8"), anchor_w, winnow_window))
+                    winnow_anchor_list(
+                        (t or "").encode("utf-8"), anchor_w, winnow_window
+                    )
                     for t in texts
                 ]
             )

@@ -64,11 +64,10 @@ def main() -> None:
     slim = df.persist()
     timed("read", slim.count)
 
-    import pandas as pd
+    import pandas as pd  # noqa: F401
     from pyspark.sql.types import ArrayType, LongType
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def anchors(texts: pd.Series) -> pd.Series:
+    def _anchors_fn(texts):
         from text_dedup_spark.kernels.winnowing import winnow_anchors
 
         return texts.map(
@@ -76,6 +75,8 @@ def main() -> None:
                 winnow_anchors((t or "").encode("utf-8"), anchor_w, winnow_window)
             )
         )
+
+    anchors = F.pandas_udf(_anchors_fn, ArrayType(LongType()))
 
     with_anchors = slim.withColumn("__ANCH__", anchors(F.col(text_col)))
     postings = with_anchors.select(

@@ -87,18 +87,34 @@ def main() -> None:
     n_docs = int(args[0]) if args and args[0].isdigit() else 50_000
     legs = [a for a in args if not a.isdigit()] or ["global", "lossless", "capped"]
     ensure_corpus(n_docs)
+    def _stat():
+        try:
+            with open("/proc/stat") as f:
+                return [int(x) for x in f.readline().split()[1:]]
+        except Exception:
+            return None
+
     results = []
     for leg in legs:
         code = LEG_SNIPPET.format(repo=REPO, data=DATA, leg=leg)
         t0 = time.time()
+        before = _stat()
         proc = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True
         )
+        after = _stat()
         if proc.returncode != 0:
             print(proc.stderr[-2000:], file=sys.stderr)
             raise SystemExit(f"leg {leg} failed")
         row = json.loads(proc.stdout.strip().splitlines()[-1])
         row["proc_sec"] = round(time.time() - t0, 1)
+        # same honesty stamp as scaling_bench: legs measured under
+        # hypervisor steal are not comparable to quiet ones
+        if before is not None and after is not None:
+            d = [a - b for a, b in zip(after, before, strict=True)]
+            tot = sum(d) or 1
+            row["host_steal_pct"] = round(100 * d[7] / tot, 2) if len(d) > 7 else None
+            row["host_system_pct"] = round(100 * d[2] / tot, 2)
         results.append(row)
         print(json.dumps(row), flush=True)
     base = next((r for r in results if r["leg"] in ("lossless", "global")), None)
