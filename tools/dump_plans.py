@@ -67,11 +67,40 @@ def _minhash_salted_edges(spark, sf_dir):
     return lsh_star_edges_salted(_explode_bands(rep_rows, kernel)).unionByName(cedges)
 
 
+def _setsim_prefix_plan(spark, sf_dir):
+    """The ngram_jaccard_pairs entry materializes through localCheckpoint
+    (its plan dump is an opaque ExistingRDD scan), so dump the LAZY form:
+    what to verify is (a) the gram build evaluated once above the cache —
+    the sz>0 filter must scan the InMemoryRelation, NOT re-derive the
+    ngram expression under the exchange (the round-5 pushdown fix,
+    functions/setsim.py) — and (b) no cross join anywhere in the prefix
+    candidate join."""
+    from pyspark.sql import functions as F
+
+    from text_dedup_spark.functions.setsim import jaccard_pairs_prefix
+    from text_dedup_spark.functions.text_stats import word_ngrams_from_tokens
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(F.col("doc_id"), F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            F.col("doc_id"), word_ngrams_from_tokens(F.col("toks"), 3).alias("grams")
+        )
+    )
+    return jaccard_pairs_prefix(d, threshold=0.5, id_col="doc_id", eager=False)
+
+
 EXTRA_QUERIES = [
     (
         "embedding_lsh_edges",
         "sketch GEMM UDF -> (table,bucket) equi-join -> exact decimal confirm (codegen)",
         _embedding_lsh_edges,
+    ),
+    (
+        "setsim_prefix_lazy",
+        "PPJoin lazy form: gram cache scanned (filter NOT pushed into the ngram expr), prefix join, exact verify",
+        _setsim_prefix_plan,
     ),
     (
         "minhash_salted_edges",
