@@ -70,6 +70,9 @@ def main() -> None:
     queries = entry_mod.queries()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     _warmup(spark)
+    from tools.hostcal import cpu_calib_sec
+
+    calib_before = cpu_calib_sec()
     cpu_before = _cpu_sample()
 
     timings: dict[str, float] = {}
@@ -95,6 +98,10 @@ def main() -> None:
         "setsim_gram_cap": setsim_cap,
         "band_salt": band_salt,
         "host_cpu": _cpu_delta(cpu_before),
+        # fixed single-thread probe timed before/after the query loop —
+        # catches the zero-steal "slow mode" the host_cpu stamp misses
+        # (tools/hostcal.py; compare against the ~0.2-0.3 s quiet baseline)
+        "cpu_calib_sec": {"before": calib_before, "after": cpu_calib_sec()},
     }
     print(json.dumps(out))
     spark.stop()

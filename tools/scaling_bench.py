@@ -28,6 +28,7 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))  # script invocation: make tools.hostcal importable
 DATA = Path("/tmp/spark_graft_scale")
 
 RUN_SNIPPET = r"""
@@ -128,7 +129,10 @@ def _cpu_sample() -> list[int] | None:
 
 
 def run_at(cpus: int, mode: str = "window") -> dict:
+    from tools.hostcal import cpu_calib_sec
+
     code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, data=DATA, mode=mode)
+    calib_before = cpu_calib_sec()
     before = _cpu_sample()
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -149,6 +153,11 @@ def run_at(cpus: int, mode: str = "window") -> dict:
                 tot = sum(d) or 1
                 res["host_steal_pct"] = round(100 * d[7] / tot, 2) if len(d) > 7 else None
                 res["host_system_pct"] = round(100 * d[2] / tot, 2)
+            # slow-mode detector (tools/hostcal.py): a leg whose calibration
+            # is ~1.5x its siblings' ran in the platform's slow mode even at
+            # zero steal — compare calib across legs before comparing walls
+            res["calib_before_sec"] = calib_before
+            res["calib_after_sec"] = cpu_calib_sec()
             return res
     raise RuntimeError(f"no result line; stderr tail: {out.stderr[-2000:]}")
 

@@ -26,6 +26,7 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))  # script invocation: make tools.hostcal importable
 DATA = Path("/tmp/spark_graft_sfx")
 
 LEG_SNIPPET = r"""
@@ -94,9 +95,12 @@ def main() -> None:
         except Exception:
             return None
 
+    from tools.hostcal import cpu_calib_sec
+
     results = []
     for leg in legs:
         code = LEG_SNIPPET.format(repo=REPO, data=DATA, leg=leg)
+        calib_before = cpu_calib_sec()
         t0 = time.time()
         before = _stat()
         proc = subprocess.run(
@@ -115,6 +119,10 @@ def main() -> None:
             tot = sum(d) or 1
             row["host_steal_pct"] = round(100 * d[7] / tot, 2) if len(d) > 7 else None
             row["host_system_pct"] = round(100 * d[2] / tot, 2)
+        # slow-mode detector: see tools/hostcal.py (legs at zero steal can
+        # still run 1.5-2x slow; the fixed probe makes that visible)
+        row["calib_before_sec"] = calib_before
+        row["calib_after_sec"] = cpu_calib_sec()
         results.append(row)
         print(json.dumps(row), flush=True)
     base = next((r for r in results if r["leg"] in ("lossless", "global")), None)
