@@ -58,26 +58,30 @@ def jaccard_pairs_prefix(
     # build; same pathology class as the fingerprint-cache note in
     # minhash_dedup). Against the cache it is a trivial predicate on the
     # materialized sz column.
+    #
+    # Round-6 form: the cache holds xxhash64 GRAM-KEY arrays, not strings —
+    # ``sz`` (the exact STRING set size, which the input contract declares
+    # distinct) is computed before hashing, so every prefix length and both
+    # size bounds stay exact; postings explode the hashed array directly
+    # (no per-posting hash call), and verification below intersects int64
+    # arrays instead of ~20-byte strings — ~2.5x fewer bytes through the
+    # cache, both verification joins, and the pair filter's per-pair hash
+    # set (guide §2.3 "narrower types"). Collision accounting: a hash
+    # collision (~2^-64 per gram pair, the same absorbed risk class as the
+    # minhash band keys and the fingerprint contraction) could in principle
+    # perturb an intersection size; parity against the all-string form is
+    # pinned by tests/test_setsim.py and the DuckDB oracle on the driver
+    # corpora.
     cache = grams_df.select(
-        F.col(id_col), F.col(grams_col), F.size(grams_col).cast("bigint").alias("sz")
+        F.col(id_col),
+        F.transform(F.col(grams_col), lambda g: F.xxhash64(g)).alias("__hg__"),
+        F.size(grams_col).cast("bigint").alias("sz"),
     ).persist()
     sized = cache.where(F.col("sz") > 0)
 
-    # Candidate generation runs on xxhash64 GRAM KEYS, not strings: the
-    # postings index / df ranking / prefix join shuffle and sort 8-byte
-    # longs instead of ~20-byte grams. The hash applies AFTER the explode —
-    # one scalar xxhash64 per posting inside the same codegen stage, no
-    # per-doc array transform (an earlier array_distinct(transform(...))
-    # form re-materialized hashed arrays on both postings consumers and
-    # measured ~20% SLOWER than plain strings at sf0.1). STILL LOSSLESS:
-    # prefix length and the size-ratio bound use the STRING set size ``sz``;
-    # an intra-doc hash collision (~2^-64) duplicates a posting key, which
-    # can only lengthen the retained prefix — a candidate SUPERSET either
-    # way — and verification below is exact integer intersection over the
-    # original string arrays, so a false pair can never be emitted.
     postings = sized.select(
-        F.col(id_col), F.col("sz"), F.explode(grams_col).alias("__g__")
-    ).select(F.col(id_col), F.col("sz"), F.xxhash64("__g__").alias("gram"))
+        F.col(id_col), F.col("sz"), F.explode("__hg__").alias("gram")
+    )
     freq = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     if max_gram_df is not None:
         flagged = freq.withColumn("__hot__", F.col("df") > max_gram_df)
@@ -107,11 +111,32 @@ def jaccard_pairs_prefix(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     )
 
+    t_num, t_den = _as_fraction(threshold)
     a = prefix.select(
-        F.col("gram"), F.col(id_col).alias("a_id"), F.col("sz").alias("sza")
+        F.col("gram"), F.col(id_col).alias("a_id"), F.col("sz").alias("sza"),
+        F.col("rn").alias("rna"),
     )
     b = prefix.select(
-        F.col("gram"), F.col(id_col).alias("b_id"), F.col("sz").alias("szb")
+        F.col("gram"), F.col(id_col).alias("b_id"), F.col("sz").alias("szb"),
+        F.col("rn").alias("rnb"),
+    )
+    # PPJoin positional filter (Xiao et al., "Efficient Similarity Joins for
+    # Near Duplicate Detection", WWW'08 §3.2), exact-integer form. Both
+    # docs' grams are ranked by the SAME global (df, gram) total order, so
+    # for a candidate row matching on the gram at 1-based ranks (rna, rnb):
+    #   |A ∩ B| <= min(rna-1, rnb-1)      [common grams ordered before it]
+    #            + 1                       [the matching gram itself]
+    #            + min(sza-rna, szb-rnb)   [common grams ordered after it]
+    # and J >= t  <=>  |A ∩ B| * (t_num + t_den) >= t_num * (|A| + |B|),
+    # so a row whose bound fails that inequality can be dropped. LOSSLESS:
+    # a true pair's every matching row has bound >= overlap >= the
+    # requirement, so the pair always survives into `cand`; only
+    # false-candidate rows are pruned — before the distinct exchange and
+    # the verification joins, which this filter exists to shrink
+    # (measured 310k candidate rows -> the surviving fraction at sf0.1
+    # for 25 true pairs; guide §2.3 "shuffle fewer bytes").
+    pos_bound = F.least("rna", "rnb") + F.least(
+        F.col("sza") - F.col("rna"), F.col("szb") - F.col("rnb")
     )
     cand = (
         a.join(b, "gram")
@@ -121,16 +146,16 @@ def jaccard_pairs_prefix(
             F.least("sza", "szb")
             >= F.ceil(F.lit(threshold) * F.greatest("sza", "szb"))
         )
+        .where(pos_bound * F.lit(t_num + t_den) >= F.lit(t_num) * (F.col("sza") + F.col("szb")))
         .select("a_id", "b_id")
         .distinct()
     )
 
-    ga = sized.select(F.col(id_col).alias("a_id"), F.col(grams_col).alias("ga"),
+    ga = sized.select(F.col(id_col).alias("a_id"), F.col("__hg__").alias("ga"),
                       F.col("sz").alias("sza"))
-    gb = sized.select(F.col(id_col).alias("b_id"), F.col(grams_col).alias("gb"),
+    gb = sized.select(F.col(id_col).alias("b_id"), F.col("__hg__").alias("gb"),
                       F.col("sz").alias("szb"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("bigint")
-    t_num, t_den = _as_fraction(threshold)
     result = (
         cand.join(ga, "a_id")
         .join(gb, "b_id")

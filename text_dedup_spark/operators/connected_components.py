@@ -38,19 +38,35 @@ def connected_components(
     in one pass — the iterative join algorithm costs ~8 scheduled jobs of
     fixed latency, which dwarfs tiny graphs. Above the gate, the distributed
     large-star/small-star loop runs with NO driver-side state. Both paths
-    produce identical min-id labels (tested against each other)."""
+    produce identical min-id labels (tested against each other).
+
+    Round-6 physical form (guide §2.4/§1): the gate is decided and the
+    edges collected in ONE action — ``limit(threshold+1).toPandas()`` —
+    instead of the former count-then-toPandas pair, and the pre-collect
+    ``distinct()`` exchange is gone: the numpy min-label kernel is
+    duplicate-tolerant (scatter-min over repeated edges is idempotent), so
+    deduplicating RAW edge rows on the cluster bought nothing the driver
+    pass doesn't do for free. The gate therefore counts raw edge rows
+    (duplicates included) rather than distinct edges — a conservative
+    shift: bounded driver bytes either way (<= threshold * 16B), identical
+    labels either way. The distributed path still distincts (its join
+    volume IS sensitive to duplicates)."""
     spark = edges.sparkSession
     base = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
         .persist()
     )
-    n_edges = base.count()
-    if driver_threshold > 0 and n_edges <= driver_threshold:
-        # Arrow-path collect (<= threshold * 16B on the driver, bounded);
-        # ~10x faster than row collect() for millions of edges
-        pdf_edges = base.toPandas()
+    if driver_threshold > 0:
+        # Arrow-path collect, bounded by the limit; partitions scanned by
+        # the limit land in the cache, so a saturated probe's work is not
+        # thrown away when the distributed loop re-reads `base`
+        pdf_edges = base.limit(driver_threshold + 1).toPandas()
+        if len(pdf_edges) > driver_threshold:
+            pdf_edges = None  # saturated: fall through to the distributed loop
+    else:
+        pdf_edges = None
+    if pdf_edges is not None:
         base.unpersist()
         if len(pdf_edges) == 0:
             return spark.createDataFrame([], "id long, cluster long")
@@ -108,7 +124,7 @@ def connected_components(
             mapping = F.broadcast(mapping)
         return mapping
 
-    e = base.localCheckpoint()
+    e = base.distinct().localCheckpoint()
     base.unpersist()
     prev_sig: tuple | None = None
     for _ in range(max_iterations):

@@ -386,8 +386,13 @@ def check_false_positives(
     # verified-membership join — without it each consumer re-runs the whole
     # upstream (assignment join + contraction) once per scan. Bounded: dup
     # candidates only (same size class as the reference's verify working
-    # set), released after new_map materializes below.
-    cand = _contract_text_groups(cand, text_col, contraction).persist()
+    # set), released after new_map materializes below. cand_cache keeps a
+    # handle on the PERSISTED frame: `cand` is rebound under
+    # max_cluster_verify, and unpersisting the derived plan would be a
+    # silent no-op (CacheManager matches by sameResult) — the cached
+    # contraction would leak for the session.
+    cand_cache = _contract_text_groups(cand, text_col, contraction).persist()
+    cand = cand_cache
 
     bypassed = None
     if max_cluster_verify is not None:
@@ -410,10 +415,18 @@ def check_false_positives(
     # one gram pass per rep, then JVM array_intersect Jaccard per pair —
     # the O(pairs) cost runs in whole-stage codegen, not Python. Persisted:
     # reps backs BOTH sides of the pair self-join — uncached, the gram UDF
-    # would run twice (once per side).
-    reps = cand.where(F.col(INDEX_COL) == F.col("__trep__")).withColumn(
-        "__G__", gram_set_udf(kernel.ngram_size, kernel.min_length)(F.col(text_col))
-    ).persist()
+    # would run twice (once per side). Cache only (cluster, id, grams): the
+    # pair join never reads the raw text, so caching it alongside (the
+    # previous shape) roughly doubled the cache bytes for nothing.
+    reps = (
+        cand.where(F.col(INDEX_COL) == F.col("__trep__"))
+        .withColumn(
+            "__G__",
+            gram_set_udf(kernel.ngram_size, kernel.min_length)(F.col(text_col)),
+        )
+        .select(CLUSTER_COL, INDEX_COL, "__G__")
+        .persist()
+    )
     left = reps.select(
         F.col(CLUSTER_COL),
         F.col(INDEX_COL).alias("id1"),
@@ -464,7 +477,7 @@ def check_false_positives(
     # only), then release the working caches: without this, the caller's
     # docs-action AND its clusters-action would each re-run the pair join
     new_map = new_map.localCheckpoint(eager=True)
-    cand.unpersist()
+    cand_cache.unpersist()
     reps.unpersist()
     reassigned = (
         docs.drop(CLUSTER_COL)
@@ -568,7 +581,10 @@ def minhash_dedup(
             # break-even derivation for the 0.85 ratio
             probe = filtered.select(
                 F.count(F.lit(1)).alias("n"),
-                F.approx_count_distinct(F.xxhash64("__BANDS__")).alias("nd"),
+                # rsd=0.02 makes the docstring's "~2% approx error" true
+                # (the default is 5%); near the 0.85 break-even either
+                # gate choice costs the same, so tighter is free accuracy
+                F.approx_count_distinct(F.xxhash64("__BANDS__"), rsd=0.02).alias("nd"),
             ).first()
             contract = probe["nd"] < 0.85 * probe["n"]
         if contract:

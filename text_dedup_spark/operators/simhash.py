@@ -118,6 +118,7 @@ def simhash_edges(
     bit_diff: int,
     max_bucket_size: int | None = None,
     observation=None,
+    dedup: bool = True,
 ) -> DataFrame:
     """All-pairs-within-bucket Hamming join -> edges. JVM-side popcount.
 
@@ -161,13 +162,19 @@ def simhash_edges(
     hamming = F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2"))) + F.bit_count(
         F.col("hi1").bitwiseXOR(F.col("hi2"))
     )
-    return (
+    out = (
         left.join(right, "__key__")
         .where(F.col("id1") < F.col("id2"))
         .where(hamming <= F.lit(bit_diff))
         .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-        .distinct()
     )
+    # ``dedup=False`` skips the distinct exchange when the consumer is
+    # duplicate-tolerant (connected_components dedups / scatter-mins its
+    # input itself) — a pair sharing several permutation buckets emits one
+    # edge per bucket, which changes nothing downstream (guide §2.4:
+    # "a distinct on data whose consumer dedups anyway" is a pure
+    # shuffle tax). Default True preserves the standalone contract.
+    return out.distinct() if dedup else out
 
 
 def simhash_check_false_positives(
@@ -208,8 +215,13 @@ def simhash_check_false_positives(
     # persisted (mirrors minhash.check_false_positives): cand feeds the cap
     # sizing, rep selection AND the star edges; uncached, each scan re-runs
     # the upstream assignment join + contraction. Released after new_map
-    # materializes below.
-    cand = _contract_text_groups(cand, text_col, contraction).drop("__tsz__").persist()
+    # materializes below. cand_cache keeps a handle on the PERSISTED frame:
+    # `cand` is rebound under max_cluster_verify and unpersisting the
+    # derived plan would silently no-op (CacheManager sameResult match).
+    cand_cache = (
+        _contract_text_groups(cand, text_col, contraction).drop("__tsz__").persist()
+    )
+    cand = cand_cache
 
     bypassed = None
     if max_cluster_verify is not None:
@@ -229,10 +241,17 @@ def simhash_check_false_positives(
     # one gram pass per rep, then JVM array_intersect Jaccard per pair
     # (bit-identical to the Python kernel — see jaccard_ge_expr). Persisted:
     # reps backs both sides of the pair self-join (uncached, the gram UDF
-    # runs once per side).
-    reps = cand.where(F.col(INDEX_COL) == F.col("__trep__")).withColumn(
-        "__G__", gram_set_udf(kernel.ngram_size, kernel.min_length)(F.col(text_col))
-    ).persist()
+    # runs once per side). Cache only (cluster, id, grams) — the pair join
+    # never reads the raw text column.
+    reps = (
+        cand.where(F.col(INDEX_COL) == F.col("__trep__"))
+        .withColumn(
+            "__G__",
+            gram_set_udf(kernel.ngram_size, kernel.min_length)(F.col(text_col)),
+        )
+        .select(CLUSTER_COL, INDEX_COL, "__G__")
+        .persist()
+    )
     left = reps.select(
         F.col(CLUSTER_COL), F.col(INDEX_COL).alias("id1"), F.col("__G__").alias("g1")
     )
@@ -271,7 +290,7 @@ def simhash_check_false_positives(
     # AND its clusters-action would each re-run the pair join (mirrors
     # minhash.check_false_positives)
     new_map = new_map.localCheckpoint(eager=True)
-    cand.unpersist()
+    cand_cache.unpersist()
     reps.unpersist()
     reassigned = (
         docs.drop(CLUSTER_COL)
@@ -346,7 +365,9 @@ def simhash_dedup(
             F.explode_outer("__keys__").alias("__key__"),
         )
     )
-    bucket_edges = simhash_edges(fps, kernel.bit_diff, max_bucket_size, observation)
+    bucket_edges = simhash_edges(
+        fps, kernel.bit_diff, max_bucket_size, observation, dedup=False
+    )
     edges = member_edges.unionByName(bucket_edges)
     mapping = connected_components(edges, driver_threshold=cc_driver_threshold)
 
