@@ -467,12 +467,27 @@ def check_false_positives(
     )
     if bypassed is not None:
         members = members.unionByName(bypassed)
-    new_map = (
-        members.join(
-            members.groupBy(CLUSTER_COL).agg(F.min("idx").alias("__newc__")), CLUSTER_COL
+    # min-idx regroup within the OLD cluster. Two physical forms, same
+    # window-vs-join trade as the text contraction above: the window is one
+    # exchange and evaluates the `members` subtree (cache scans + the semi
+    # join against the pair-join output) ONCE, where the join form planned
+    # it twice — build and probe side — for an extra exchange; its worst
+    # task is O(largest old cluster), which the parity profile accepts and
+    # the scale profile ("join") must not.
+    if contraction == "window":
+        from pyspark.sql import Window
+
+        new_map = members.withColumn(
+            "__newc__", F.min("idx").over(Window.partitionBy(CLUSTER_COL))
+        ).select(F.col("idx").alias("id"), F.col("__newc__").alias("cluster"))
+    else:
+        new_map = (
+            members.join(
+                members.groupBy(CLUSTER_COL).agg(F.min("idx").alias("__newc__")),
+                CLUSTER_COL,
+            )
+            .select(F.col("idx").alias("id"), F.col("__newc__").alias("cluster"))
         )
-        .select(F.col("idx").alias("id"), F.col("__newc__").alias("cluster"))
-    )
     # materialize the verified mapping once (it is small — verified dup docs
     # only), then release the working caches: without this, the caller's
     # docs-action AND its clusters-action would each re-run the pair join

@@ -15,6 +15,15 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Join strategy (guide §3.1/§9): allow shuffled-hash join when its size
+    # conditions are met instead of always sort-merge — the dedup pipelines
+    # are chains of small-map equi-joins whose sorts are pure overhead; the
+    # AQE threshold bounds the per-partition build side (spill safety), so
+    # the choice stays size-gated at any scale. Overridable per deployment
+    # via get_spark(conf=...). Measured at sf0.1: verified minhash
+    # 2.51 -> 2.06 s, ngram pairs 2.22 -> 1.88 s, no query slower.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # wide binary signature arrays: keep Arrow batches moderate
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
