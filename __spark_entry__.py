@@ -296,12 +296,23 @@ def _minhash_common(spark: SparkSession, sf_dir: str, check_fp: bool) -> DataFra
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH clustering (reference minhash.py; SURVEY §2 F1-F8, J1/J3,
-    A1-A5, A9)."""
+    A1-A5, A9).
+
+    no_oracle waiver (rows-only driver check): the base hash is XXH3
+    (reference hashfunc semantics) and DuckDB has no XXH3, so no SQL-string
+    oracle can replay the signatures. The identical pipeline SHAPE is
+    hash-oracled end to end by ``minhash_dedup_md5`` (md5 base ==
+    md5_number_upper), and exact cluster parity vs a reference-semantics
+    Python oracle is pinned in tests/test_spark_dedup.py."""
     return _minhash_common(spark, sf_dir, check_fp=False)
 
 
 def q_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash with intra-cluster Jaccard verification (J2/F13)."""
+    """MinHash with intra-cluster Jaccard verification (J2/F13).
+
+    no_oracle waiver: same XXH3-base reason as ``q_minhash_dedup``; the
+    verified pipeline shape (pair Jaccard + old-cluster min-idx regroup) is
+    hash-oracled by ``minhash_dedup_verified_md5``."""
     return _minhash_common(spark, sf_dir, check_fp=True)
 
 
@@ -660,7 +671,12 @@ def _md5_simhash_oracle_sql(verified: bool = False) -> str:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-bucket clustering (reference simhash.py; F9-F12, J4)."""
+    """SimHash Hamming-bucket clustering (reference simhash.py; F9-F12, J4).
+
+    no_oracle waiver (rows-only driver check): XXH3 base hash, which DuckDB
+    cannot reproduce in a SQL-string oracle; the identical pipeline shape
+    (bit-vote, P(b,b-k) bucket keys, Hamming join, CC) is hash-oracled end
+    to end by ``simhash_dedup_md5`` / ``simhash_dedup_verified_md5``."""
     from text_dedup_spark.kernels.simhash_kernel import SimHashKernel
     from text_dedup_spark.operators.ids import CLUSTER_COL, DUPLICATE_COL
     from text_dedup_spark.operators.simhash import simhash_dedup

@@ -45,6 +45,28 @@ class TestConnectedComponents:
         }
         assert got == expected
 
+    def test_raw_probe_saturation_regates_on_distinct(self, spark):
+        """Round-6 gate internals: the one-action probe counts RAW edge
+        rows; a duplicate-heavy edge set that saturates it must re-gate on
+        DISTINCT edges and still take the driver path (and a genuinely big
+        distinct set the distributed path) — all three routes label-equal."""
+        rng = np.random.RandomState(11)
+        m = [(int(a), int(b)) for a, b in rng.randint(0, 60, size=(40, 2)) if a != b]
+        dup = m * 12  # raw rows ~480, distinct <= 40
+        uf = UnionFind()
+        for a, b in m:
+            uf.union(a, b)
+        expected = uf.get_clusters()
+        df = spark.createDataFrame(dup, ["src", "dst"])
+        for thr in (100,      # raw saturates, distinct fits -> driver path
+                    5_000_000,  # raw fits -> one-action driver path
+                    10):      # distinct saturates too -> distributed loop
+            got = {
+                r["id"]: r["cluster"]
+                for r in connected_components(df, driver_threshold=thr).collect()
+            }
+            assert got == expected, f"driver_threshold={thr}"
+
     @pytest.mark.parametrize("driver_threshold", [0, 5_000_000])
     def test_random_graphs(self, spark, driver_threshold):
         rng = np.random.RandomState(7)

@@ -40,32 +40,42 @@ def connected_components(
     large-star/small-star loop runs with NO driver-side state. Both paths
     produce identical min-id labels (tested against each other).
 
-    Round-6 physical form (guide §2.4/§1): the gate is decided and the
-    edges collected in ONE action — ``limit(threshold+1).toPandas()`` —
-    instead of the former count-then-toPandas pair, and the pre-collect
-    ``distinct()`` exchange is gone: the numpy min-label kernel is
-    duplicate-tolerant (scatter-min over repeated edges is idempotent), so
-    deduplicating RAW edge rows on the cluster bought nothing the driver
-    pass doesn't do for free. The gate therefore counts raw edge rows
-    (duplicates included) rather than distinct edges — a conservative
-    shift: bounded driver bytes either way (<= threshold * 16B), identical
-    labels either way. The distributed path still distincts (its join
-    volume IS sensitive to duplicates)."""
+    Round-6 physical form (guide §2.4/§1): for graphs under the gate — the
+    overwhelmingly common case across the bench queries — the gate is
+    decided and the edges collected in ONE action,
+    ``limit(threshold+1).toPandas()`` over the RAW (non-distinct) edges:
+    the numpy min-label kernel is duplicate-tolerant (scatter-min over
+    repeated edges is idempotent), so the former pre-collect ``distinct()``
+    exchange and the separate count action bought nothing. Only when the
+    raw probe saturates (duplicate-heavy edge sets can be b x larger than
+    their distinct form) does the old two-step run: distinct + count
+    re-gates, so a graph whose DISTINCT edges fit the driver still takes
+    the driver path exactly as before — the probe's cost is then one extra
+    bounded scan, paid only by big graphs whose distributed loop dwarfs
+    it."""
     spark = edges.sparkSession
     base = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .persist()
     )
+    pdf_edges = None
+    base_is_distinct = False
     if driver_threshold > 0:
         # Arrow-path collect, bounded by the limit; partitions scanned by
         # the limit land in the cache, so a saturated probe's work is not
-        # thrown away when the distributed loop re-reads `base`
+        # thrown away when the fallback below re-reads `base`
         pdf_edges = base.limit(driver_threshold + 1).toPandas()
         if len(pdf_edges) > driver_threshold:
-            pdf_edges = None  # saturated: fall through to the distributed loop
-    else:
-        pdf_edges = None
+            # saturated: re-gate on DISTINCT edges (the pre-round-6
+            # behavior) so duplicate-heavy graphs keep the driver path
+            pdf_edges = None
+            base_d = base.distinct().persist()
+            if base_d.count() <= driver_threshold:
+                pdf_edges = base_d.toPandas()
+            base.unpersist()
+            base = base_d
+            base_is_distinct = True
     if pdf_edges is not None:
         base.unpersist()
         if len(pdf_edges) == 0:
@@ -124,7 +134,7 @@ def connected_components(
             mapping = F.broadcast(mapping)
         return mapping
 
-    e = base.distinct().localCheckpoint()
+    e = (base if base_is_distinct else base.distinct()).localCheckpoint()
     base.unpersist()
     prev_sig: tuple | None = None
     for _ in range(max_iterations):
