@@ -36,7 +36,7 @@ def jaccard_pairs_prefix(
     when the threshold keeps the output near-linear (the operator's intended
     regime) and callers consume the result. ``eager=False`` keeps the plan
     lazy for composition (e.g. a downstream ``.limit``) at the cost of the
-    gram cache staying pinned until the session drops it.
+    gram and prefix caches staying pinned until the session drops them.
 
     ``max_gram_df`` (default OFF — parity/lossless by default, matching the
     repo's cap convention): drop grams whose document frequency exceeds the
@@ -106,10 +106,16 @@ def jaccard_pairs_prefix(
             Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("gram"))
         ),
     )
-    # prefix length = sz - ceil(t*sz) + 1
+    # prefix length = sz - ceil(t*sz) + 1. Persisted (slim: 4 longs/row,
+    # ~|docs x prefix_len| rows): both sides of the candidate self-join scan
+    # it — unpersisted, the whole freq-agg + join + window-sort subtree is
+    # planned and EXECUTED twice, once per side (measured as the query's
+    # largest stage at sf0.1; the plan showed two Window+Exchange+
+    # HashAggregate chains over the shared gram cache). Guide §2.4: two
+    # operations keyed the same way should share one evaluation.
     prefix = ranked.where(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    )
+    ).persist()
 
     t_num, t_den = _as_fraction(threshold)
     a = prefix.select(
@@ -138,6 +144,15 @@ def jaccard_pairs_prefix(
     pos_bound = F.least("rna", "rnb") + F.least(
         F.col("sza") - F.col("rna"), F.col("szb") - F.col("rnb")
     )
+    # No distinct here: a pair sharing several prefix grams emits one row per
+    # shared gram, but on realistic corpora the duplication factor is tiny
+    # (measured 327,574 raw rows -> 308,750 distinct pairs at sf0.1, 6%),
+    # while the distinct itself was a full exchange of every candidate row —
+    # the verification below tolerates duplicate probe rows (identical
+    # output rows), so the dedup moves AFTER the threshold filter, where
+    # only the qualifying pairs (near-linear by construction) pay it
+    # (guide §2.4: a distinct whose consumer tolerates duplicates is a pure
+    # shuffle tax; §2.3: shuffle fewer rows).
     cand = (
         a.join(b, "gram")
         .where(F.col("a_id") < F.col("b_id"))
@@ -148,7 +163,6 @@ def jaccard_pairs_prefix(
         )
         .where(pos_bound * F.lit(t_num + t_den) >= F.lit(t_num) * (F.col("sza") + F.col("szb")))
         .select("a_id", "b_id")
-        .distinct()
     )
 
     ga = sized.select(F.col(id_col).alias("a_id"), F.col("__hg__").alias("ga"),
@@ -164,6 +178,11 @@ def jaccard_pairs_prefix(
         # exact integer comparison: inter/union >= t_num/t_den
         .where(F.col("inter_size") * t_den >= F.col("union_size") * t_num)
         .select("a_id", "b_id", "inter_size", "union_size")
+        # pair-dedup lives HERE, on the qualifying pairs only (see the
+        # candidate-join note above): identical candidate rows verify to
+        # identical output rows, so this distinct restores exactly the set
+        # the pre-verification distinct produced
+        .distinct()
     )
     # materialize (the qualifying-pair output is small by construction:
     # near-dup pairs only), then release the cached gram arrays — a long
@@ -171,6 +190,7 @@ def jaccard_pairs_prefix(
     if eager:
         result = result.localCheckpoint(eager=True)
         cache.unpersist()
+        prefix.unpersist()
     return result
 
 
