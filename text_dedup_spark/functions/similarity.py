@@ -352,15 +352,20 @@ def lsh_bucketed_topk(
         F.col("vec_id").alias("neighbor_id"),
         F.col("q").alias("qb"),
     )
+    # score BEFORE deduplicating (mirrors embedding_dedup.lsh_cosine_edges):
+    # a pair sharing buckets in several tables pays one extra codegen'd dot
+    # each (factor < n_tables, typically ~1.2), while deduplicating first
+    # shuffled both 64-element quantized arrays (~1 KB/row) through the
+    # exchange; post-score the dedup moves three bare longs (the dot is a
+    # pure function of the pair, so duplicate rows are identical rows)
     cands = (
         a.join(b, ["table_id", "bucket"])
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id", "qa", "qb")
-        .dropDuplicates(["vec_id", "neighbor_id"])
     )
     scored = cands.select(
         "vec_id", "neighbor_id", int_dot(F.col("qa"), F.col("qb")).alias("dot")
-    )
+    ).dropDuplicates(["vec_id", "neighbor_id"])
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     result = (
         scored.withColumn("rank", F.row_number().over(w))
