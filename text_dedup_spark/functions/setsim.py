@@ -118,7 +118,27 @@ def jaccard_pairs_prefix(
     ).persist()
 
     t_num, t_den = _as_fraction(threshold)
-    a = prefix.select(
+    # Asymmetric (probing) prefix — Xiao et al. WWW'08 §4: for a qualifying
+    # pair with |A| <= |B|, the required overlap alpha = ceil(t/(1+t) *
+    # (|A|+|B|)) >= ceil(2t/(1+t) * |A|), so the SMALLER record's prefix
+    # only needs length |A| - ceil(2t/(1+t)*|A|) + 1 (the classic lemma
+    # needs both prefixes at length >= |X| - alpha + 1, and this choice is
+    # >= that since the ceil is <= alpha). The a side filters the SAME
+    # persisted prefix down to the short probing prefix (a cache-scan
+    # predicate, no recompute), shrinking the candidate join's probe rows
+    # by ~(1-t)/(1+t) of each doc's grams; direction is fixed by
+    # (sz, id)-lexicographic order below so every unordered pair takes the
+    # probe role exactly once. Exact integer ceil (no float rounding):
+    # ceil(2*t_num*sz / (t_num+t_den)) via (x + d - 1) div d — the div is
+    # exact for sz*t_num << 2^52, guarded by _as_fraction's 1e6 cap at any
+    # realistic set size.
+    d2 = t_num + t_den
+    short_len = (
+        F.col("sz")
+        - F.floor((F.lit(2 * t_num) * F.col("sz") + F.lit(d2 - 1)) / F.lit(d2))
+        + 1
+    )
+    a = prefix.where(F.col("rn") <= short_len).select(
         F.col("gram"), F.col(id_col).alias("a_id"), F.col("sz").alias("sza"),
         F.col("rn").alias("rna"),
     )
@@ -153,9 +173,16 @@ def jaccard_pairs_prefix(
     # only the qualifying pairs (near-linear by construction) pay it
     # (guide §2.4: a distinct whose consumer tolerates duplicates is a pure
     # shuffle tax; §2.3: shuffle fewer rows).
+    # (sz, id)-lexicographic direction: the probe role (short prefix) is
+    # the smaller record, ties broken by id — every unordered pair is
+    # generated exactly once; output ids are normalized numerically after
+    # verification (inter/union are symmetric)
     cand = (
         a.join(b, "gram")
-        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            (F.col("sza") < F.col("szb"))
+            | ((F.col("sza") == F.col("szb")) & (F.col("a_id") < F.col("b_id")))
+        )
         # size-ratio bound: t*max(|A|,|B|) <= min(|A|,|B|)
         .where(
             F.least("sza", "szb")
@@ -177,7 +204,14 @@ def jaccard_pairs_prefix(
         .withColumn("union_size", F.col("sza") + F.col("szb") - F.col("inter_size"))
         # exact integer comparison: inter/union >= t_num/t_den
         .where(F.col("inter_size") * t_den >= F.col("union_size") * t_num)
-        .select("a_id", "b_id", "inter_size", "union_size")
+        # probe/index roles were size-directed; restore the numeric
+        # (a_id < b_id) output convention (inter/union are symmetric)
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            "inter_size",
+            "union_size",
+        )
         # pair-dedup lives HERE, on the qualifying pairs only (see the
         # candidate-join note above): identical candidate rows verify to
         # identical output rows, so this distinct restores exactly the set
