@@ -46,10 +46,11 @@ class TestConnectedComponents:
         assert got == expected
 
     def test_raw_probe_saturation_regates_on_distinct(self, spark):
-        """Round-6 gate internals: the one-action probe counts RAW edge
-        rows; a duplicate-heavy edge set that saturates it must re-gate on
-        DISTINCT edges and still take the driver path (and a genuinely big
-        distinct set the distributed path) — all three routes label-equal."""
+        """Round-6 gate internals: the one-action probe collects DISTINCT
+        edges bounded by the limit, so a duplicate-heavy edge set (raw rows
+        >> threshold, distinct under it) still takes the driver path, and a
+        set whose distinct edges saturate too takes the distributed loop —
+        all routes label-equal."""
         rng = np.random.RandomState(11)
         m = [(int(a), int(b)) for a, b in rng.randint(0, 60, size=(40, 2)) if a != b]
         dup = m * 12  # raw rows ~480, distinct <= 40
@@ -58,8 +59,8 @@ class TestConnectedComponents:
             uf.union(a, b)
         expected = uf.get_clusters()
         df = spark.createDataFrame(dup, ["src", "dst"])
-        for thr in (100,      # raw saturates, distinct fits -> driver path
-                    5_000_000,  # raw fits -> one-action driver path
+        for thr in (100,      # raw saturates the limit, distinct fits -> driver path
+                    5_000_000,  # everything fits -> driver path
                     10):      # distinct saturates too -> distributed loop
             got = {
                 r["id"]: r["cluster"]

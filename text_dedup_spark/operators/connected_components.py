@@ -40,42 +40,39 @@ def connected_components(
     large-star/small-star loop runs with NO driver-side state. Both paths
     produce identical min-id labels (tested against each other).
 
-    Round-6 physical form (guide §2.4/§1): for graphs under the gate — the
-    overwhelmingly common case across the bench queries — the gate is
-    decided and the edges collected in ONE action,
-    ``limit(threshold+1).toPandas()`` over the RAW (non-distinct) edges:
-    the numpy min-label kernel is duplicate-tolerant (scatter-min over
-    repeated edges is idempotent), so the former pre-collect ``distinct()``
-    exchange and the separate count action bought nothing. Only when the
-    raw probe saturates (duplicate-heavy edge sets can be b x larger than
-    their distinct form) does the old two-step run: distinct + count
-    re-gates, so a graph whose DISTINCT edges fit the driver still takes
-    the driver path exactly as before — the probe's cost is then one extra
-    bounded scan, paid only by big graphs whose distributed loop dwarfs
-    it."""
+    Round-6 physical form (guide §2.4/§1): ONE action decides the gate AND
+    collects — ``distinct().limit(threshold+1).toPandas()`` over a
+    persisted distinct frame. The former shape spent a count action plus a
+    separate collect; an intermediate round-6 shape probed the RAW edges
+    (no distinct at all), which was fastest on tiny graphs but collected
+    every duplicate row through the serial driver path — measured 4.06M
+    raw vs 0.78M distinct edges on a 1M-doc web corpus, a 5x larger
+    Arrow collect + numpy input for rows the kernel immediately dedups.
+    The distinct runs distributed (parallel), the collect is bounded by
+    the DISTINCT edge count, and on saturation the distributed loop reuses
+    the same cached distinct frame — nothing is recomputed."""
     spark = edges.sparkSession
     base = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
+        .distinct()
         .persist()
     )
     pdf_edges = None
-    base_is_distinct = False
     if driver_threshold > 0:
-        # Arrow-path collect, bounded by the limit; partitions scanned by
-        # the limit land in the cache, so a saturated probe's work is not
-        # thrown away when the fallback below re-reads `base`
+        # ONE action decides the gate and collects: the limit caps the
+        # Arrow collect at threshold+1 rows, and the dedup runs
+        # DISTRIBUTED (the distinct above) before anything reaches the
+        # driver — a duplicate-heavy graph (band edges emit one row per
+        # shared band; measured 4.06M raw vs 0.78M distinct on a 1M-doc
+        # web corpus) would otherwise push b x more rows through the
+        # serial collect + numpy kernel than the driver ever needs. The
+        # persist means the probe's distinct is computed once: a
+        # saturated probe hands the SAME cached frame to the distributed
+        # loop below, nothing recomputed.
         pdf_edges = base.limit(driver_threshold + 1).toPandas()
         if len(pdf_edges) > driver_threshold:
-            # saturated: re-gate on DISTINCT edges (the pre-round-6
-            # behavior) so duplicate-heavy graphs keep the driver path
             pdf_edges = None
-            base_d = base.distinct().persist()
-            if base_d.count() <= driver_threshold:
-                pdf_edges = base_d.toPandas()
-            base.unpersist()
-            base = base_d
-            base_is_distinct = True
     if pdf_edges is not None:
         base.unpersist()
         if len(pdf_edges) == 0:
@@ -134,7 +131,7 @@ def connected_components(
             mapping = F.broadcast(mapping)
         return mapping
 
-    e = (base if base_is_distinct else base.distinct()).localCheckpoint()
+    e = base.localCheckpoint()
     base.unpersist()
     prev_sig: tuple | None = None
     for _ in range(max_iterations):

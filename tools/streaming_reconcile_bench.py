@@ -69,7 +69,15 @@ def main() -> None:
     per = (n_docs + n_batches - 1) // n_batches
     t0 = time.time()
     batch_walls = []
+    batch_calibs = []
+    from tools.hostcal import cpu_calib_sec
+
     for b in range(n_batches):
+        # per-batch host stamp: this box's ambient speed swings 1.5-2x
+        # between minutes, and a per-batch trend claim ("flat, not
+        # growing") is only honest when each wall carries the probe that
+        # says how fast the host was DURING it
+        cal = cpu_calib_sec()
         tb = time.time()
         batch = df.where(
             (F.col(INDEX_COL) >= b * per) & (F.col(INDEX_COL) < (b + 1) * per)
@@ -78,6 +86,7 @@ def main() -> None:
             spark, batch, kernel, store_dir, text_col="text"
         ).count()
         batch_walls.append(round(time.time() - tb, 2))
+        batch_calibs.append(cal)
     ingest_wall = round(time.time() - t0, 2)
 
     # --- reconcile: exact batch-equivalent clustering from the store ------
@@ -118,6 +127,7 @@ def main() -> None:
                 "cpus": cpus,
                 "ingest_wall_sec": ingest_wall,
                 "batch_walls": batch_walls,
+                "batch_calib_sec": batch_calibs,
                 "reconcile_wall_sec": reconcile_wall,
                 "batch_pipeline_wall_sec": batch_wall,
                 "n_reconciled_docs": n_rec,
