@@ -162,6 +162,31 @@ class TestTokenization:
         assert b"the cat" in s and b"cat the" in s and b"cat sat" in s
         assert len(s) == 3
 
+    @pytest.mark.parametrize("n", [1, 2, 3, 4])
+    @pytest.mark.parametrize("min_length", [0, 2, 5])
+    def test_shingle_bytes_equals_ngram_join_form(self, n, min_length):
+        """The zip-based fast path (round-6 fingerprint optimization) must
+        reproduce the definitional ngrams-join form on every edge class:
+        empty, shorter-than-min_length, shorter-than-n, exact-n, long, and
+        duplicate-heavy inputs."""
+        from text_dedup_spark.kernels.tokenization import shingle_bytes
+
+        cases = [
+            [],
+            ["a"],
+            ["a", "b"],
+            ["a", "b", "c"],
+            ["a", "b", "c", "d"],
+            list("abcdefghij"),
+            ["x"] * 7,  # duplicate grams collapse identically
+            ["the", "cat", "the", "cat", "sat"],
+        ]
+        for toks in cases:
+            expected = {
+                " ".join(g).encode("utf-8") for g in ngrams(toks, n, min_length)
+            }
+            assert shingle_bytes(toks, n, min_length) == expected, (toks, n, min_length)
+
 
 class TestJaccard:
     def test_empty_union_is_one(self):
@@ -232,6 +257,27 @@ class TestMinHashKernel:
         c = k.embed("completely different words appear inside this unrelated sentence here now")
         assert any(x == y for x, y in zip(a, b, strict=True))
         assert not any(x == y for x, y in zip(a, c, strict=True))
+
+    def test_mersenne_fold_matches_modulo(self):
+        """Round-6: the 64-bit config's permute uses a shift-add Mersenne
+        fold instead of `%` — pin bit-equality against the definitional
+        modulo over random hash batches, including the wraparound-heavy
+        region near 2**64 (the per-doc `signature()` path still uses `%`,
+        so `test_embed_batch_equals_per_doc` cross-checks this end to end)."""
+        import numpy as np
+
+        from text_dedup_spark.kernels.minhash_kernel import MinHashKernel
+
+        k = MinHashKernel(num_perm=32, ngram_size=2, min_length=5, threshold=0.5)
+        masks = np.full(shape=k.num_perm, dtype=k.dtype, fill_value=k.max_hash)
+        rng = np.random.RandomState(3)
+        for _ in range(5):
+            h = rng.randint(0, 1 << 32, size=200).astype(np.uint64)
+            ref = (np.multiply.outer(h, k.a) + k.b) % k.modulo_prime & k.dtype(
+                k.max_hash
+            )
+            expected = np.minimum(ref.min(axis=0), masks)
+            assert np.array_equal(k._signature_from_hashes(h, masks), expected)
 
     def test_16bit_config(self):
         k = MinHashKernel(num_perm=8, bands=2, rows=4, hash_bits=16, min_length=1)

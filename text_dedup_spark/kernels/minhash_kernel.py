@@ -169,13 +169,24 @@ class MinHashKernel:
         # stays cache-resident: measured 2.8x faster than one batch-wide
         # matrix AND contention-free at 32-way worker concurrency (the big
         # matrix thrashes shared DRAM bandwidth).
-        # (the Mersenne shift-add fold for P=2**61-1 was tried and is 2x
-        # SLOWER than `%=` here: numpy's scalar integer modulo already uses
-        # a precomputed-reciprocal fast path, while the fold costs four
-        # extra full passes over the tile)
         hv = np.multiply.outer(h.astype(self.dtype, copy=False), self.a)
         hv += self.b
-        hv %= self.modulo_prime
+        if self.hash_bits == 64:
+            # Mersenne fold for P = 2**61-1 on the uint64-wrapped value:
+            # 2**61 ≡ 1 (mod P), so x mod P == ((x >> 61) + (x & P)) with
+            # one conditional subtract (the sum is <= P + 7). In-place with
+            # a `where=`-masked subtract this is ~1.5x faster than `%=`
+            # (0.30 vs 0.46 s on a 3k-doc probe, bit-equal asserted); the
+            # branchless `y -= P*(y>=P)` form is 2x SLOWER than `%=` —
+            # which is what an earlier round measured and rejected.
+            hi = hv >> np.uint64(61)
+            hv &= self.modulo_prime
+            hv += hi
+            np.subtract(hv, self.modulo_prime, out=hv,
+                        where=hv >= self.modulo_prime)
+        else:
+            # 32/16-bit configs: non-Mersenne primes, narrow dtypes
+            hv %= self.modulo_prime
         hv &= self.dtype(self.max_hash)
         return np.minimum(hv.min(axis=0), masks)
 

@@ -58,7 +58,7 @@ def _bands_udf(kernel: MinHashKernel):
 
     @F.pandas_udf(ArrayType(LongType()))
     def bands(texts: pd.Series) -> pd.Series:
-        from text_dedup_spark.kernels.tokenization import ngrams, tokenize
+        from text_dedup_spark.kernels.tokenization import shingle_bytes, tokenize
 
         shingle_sets: list[set[bytes] | None] = []
         for t in texts:
@@ -66,14 +66,12 @@ def _bands_udf(kernel: MinHashKernel):
             if len(tokens) < kernel.min_length:
                 shingle_sets.append(None)
             else:
-                # no per-gram .lower(): tokens are already lowered by
-                # tokenize and str.lower is idempotent (see kernels.
-                # tokenization.shingles)
+                # zip-based shingle construction, output-identical to the
+                # ngrams iterator path (and no per-gram .lower(): tokens
+                # are already lowered by tokenize — see kernels.
+                # tokenization.shingle_bytes/shingles)
                 shingle_sets.append(
-                    {
-                        " ".join(g).encode("utf-8")
-                        for g in ngrams(tokens, kernel.ngram_size, kernel.min_length)
-                    }
+                    shingle_bytes(tokens, kernel.ngram_size, kernel.min_length)
                 )
         out: list = [None] * len(shingle_sets)
         keep_idx = [i for i, s in enumerate(shingle_sets) if s is not None]
